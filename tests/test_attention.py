@@ -1,0 +1,66 @@
+"""Attention parity: XLA reference vs torch SDPA, Pallas kernel vs XLA reference."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from vit_tpu.kernels.attention import flash_attention
+from vit_tpu.ops.attention import attention_xla
+
+TOL = 1e-3
+
+
+def _rand_qkv(key, b=2, h=4, s=37, d=16, dtype=jnp.float32):
+    kq, kk, kv = jax.random.split(key, 3)
+    shape = (b, h, s, d)
+    return (jax.random.normal(kq, shape, dtype),
+            jax.random.normal(kk, shape, dtype),
+            jax.random.normal(kv, shape, dtype))
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_xla_matches_torch_sdpa(causal):
+    q, k, v = _rand_qkv(jax.random.PRNGKey(0))
+    out = attention_xla(q, k, v, causal=causal)
+    tq, tk, tv = (torch.from_numpy(np.asarray(x)) for x in (q, k, v))
+    ref = torch.nn.functional.scaled_dot_product_attention(
+        tq, tk, tv, is_causal=causal).numpy()
+    np.testing.assert_allclose(np.asarray(out), ref, atol=TOL, rtol=TOL)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+@pytest.mark.parametrize("s", [64, 37])
+def test_pallas_matches_xla(causal, s):
+    # (On CPU this runs the kernel in interpret mode; larger/odd shapes like 257/321
+    # are exercised on real TPU by tests/tpu/test_kernels_tpu.py and bench.py.)
+    q, k, v = _rand_qkv(jax.random.PRNGKey(1), b=1, h=2, s=s, d=64)
+    out = flash_attention(q, k, v, causal=causal)
+    ref = attention_xla(q, k, v, causal=causal)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=TOL, rtol=TOL)
+
+
+def test_pallas_grad_matches_xla():
+    q, k, v = _rand_qkv(jax.random.PRNGKey(2), b=1, h=2, s=48, d=64)
+
+    def loss_pallas(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, causal=True) ** 2)
+
+    def loss_xla(q, k, v):
+        return jnp.sum(attention_xla(q, k, v, causal=True) ** 2)
+
+    g1 = jax.grad(loss_pallas, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=TOL, rtol=TOL)
+
+
+def test_dropout_attention_runs_and_is_stochastic():
+    q, k, v = _rand_qkv(jax.random.PRNGKey(3), s=16, d=8)
+    rng = jax.random.PRNGKey(42)
+    out1 = attention_xla(q, k, v, dropout_rate=0.5, dropout_rng=rng)
+    out2 = attention_xla(q, k, v, dropout_rate=0.5,
+                         dropout_rng=jax.random.PRNGKey(43))
+    assert out1.shape == q.shape
+    assert not np.allclose(np.asarray(out1), np.asarray(out2))

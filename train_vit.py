@@ -1,0 +1,164 @@
+"""Supervised ViT classification training (TPU-native).
+
+CLI-surface parity with the reference train_vit.py:56-71 (same flags, same defaults),
+plus rebuild-only flags: --dataset (synthetic smoke path, CPU-runnable per
+BASELINE.json configs[0]), --ckpt_dir/--resume, --steps_per_epoch, --attn_impl.
+
+Deliberate fixes vs the reference (SURVEY.md §2d):
+  - logs every `--log_every` steps (the reference's `if i % 100:` logs on all steps
+    EXCEPT multiples of 100, train_vit.py:109);
+  - valid/loss logs the actual validation loss (the reference logs the last train-batch
+    loss, train_vit.py:126);
+  - no GradScaler: TPU bf16 needs no loss scaling.
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vit_tpu.data.synthetic import SyntheticImageLoader
+from vit_tpu.models.vit import ViTClassifier, ViTConfig
+from vit_tpu.train.checkpoint import Checkpointer
+from vit_tpu.train.optim import make_optimizer
+from vit_tpu.train.state import TrainState, params_str
+from vit_tpu.train.step import make_classifier_eval_step, make_classifier_train_step
+from vit_tpu.utils.logging import MetricsLogger
+
+
+def parse_args():
+    parser = argparse.ArgumentParser()
+    # --- reference flag surface (train_vit.py:56-71) ---
+    parser.add_argument('--data_dir', type=str,
+                        default='/mnt/data/Public_datasets/imagenet/imagenet_pytorch')
+    parser.add_argument('--image_size', type=int, default=256)
+    parser.add_argument('--in_channels', type=int, default=3)
+    parser.add_argument('--patch_size', type=int, default=16)
+    parser.add_argument('--extra_tokens', type=int, default=1)
+    parser.add_argument('--transformer', type=str, default="L")
+    parser.add_argument('--dropout', type=float, default=0.15)
+    parser.add_argument('--bs', type=int, default=64)
+    parser.add_argument('--mixed', type=bool, default=True)  # bf16 compute when True
+    parser.add_argument('--lr', type=float, default=1e-4)
+    parser.add_argument('--weight_decay', type=float, default=1e-2)
+    parser.add_argument('--warmup_steps', type=int, default=5000)
+    parser.add_argument('--train_steps', type=int, default=500000)
+    parser.add_argument('--epochs', type=int, default=10**9)
+    # --- rebuild-only flags ---
+    parser.add_argument('--dataset', type=str, default='imagenet',
+                        choices=['imagenet', 'synthetic'])
+    parser.add_argument('--num_classes', type=int, default=1000)
+    parser.add_argument('--steps_per_epoch', type=int, default=50,
+                        help='synthetic dataset epoch length')
+    parser.add_argument('--ckpt_dir', type=str, default='ckpt/vit')
+    parser.add_argument('--resume', action='store_true')
+    parser.add_argument('--attn_impl', type=str, default=None,
+                        choices=[None, 'pallas', 'xla'])
+    parser.add_argument('--log_every', type=int, default=100)
+    parser.add_argument('--seed', type=int, default=0)
+    parser.add_argument('--no_wandb', action='store_true')
+    args = parser.parse_args()
+    args.min_lr = args.lr / 10  # reference train_vit.py:72
+    return args
+
+
+def get_loaders(args):
+    if args.dataset == 'synthetic':
+        train = SyntheticImageLoader(args.image_size, args.bs,
+                                     num_classes=args.num_classes,
+                                     in_channels=args.in_channels,
+                                     steps_per_epoch=args.steps_per_epoch,
+                                     seed=args.seed)
+        valid = SyntheticImageLoader(args.image_size, 2 * args.bs,
+                                     num_classes=args.num_classes,
+                                     in_channels=args.in_channels,
+                                     steps_per_epoch=max(1, args.steps_per_epoch // 10),
+                                     seed=args.seed + 1)
+        return train, valid
+    from vit_tpu.data.imagenet import get_imagenet_loaders
+
+    return get_imagenet_loaders(args.image_size, args.bs, data_dir=args.data_dir)
+
+
+def main():
+    args = parse_args()
+    dtype = jnp.bfloat16 if args.mixed else jnp.float32
+    vit_config = ViTConfig(args.image_size, args.in_channels, args.patch_size,
+                           args.transformer, args.extra_tokens, args.dropout,
+                           dtype=dtype, attn_impl=args.attn_impl)
+
+    run_name = (f"{args.patch_size}px_{args.image_size}px_{args.transformer}_"
+                f"{args.bs}bs_{args.lr}lr_{args.dropout}drp")
+    logger = MetricsLogger("vit-classifier", run_name, config=vars(args),
+                           use_wandb=not args.no_wandb)
+
+    train_loader, valid_loader = get_loaders(args)
+
+    model = ViTClassifier(vit_config, num_classes=args.num_classes)
+    rng = jax.random.PRNGKey(args.seed)
+    init_images = jnp.zeros((1, args.image_size, args.image_size, args.in_channels))
+    params = jax.jit(model.init)(rng, init_images)["params"]
+    tx = make_optimizer(args.lr, args.warmup_steps, args.train_steps, args.min_lr,
+                        args.weight_decay, clip_norm=None)  # reference applies no
+    # effective clipping in this script (no clip call at all, train_vit.py:96-110)
+    state = TrainState.create(params, tx)
+
+    ckpt = Checkpointer(args.ckpt_dir, mode="max")
+    if args.resume and ckpt.can_restore():
+        state = ckpt.restore(state)
+        print(f"RESUMED at step {int(state.step)}")
+
+    train_step = jax.jit(make_classifier_train_step(model), donate_argnums=(0,))
+    eval_step = jax.jit(make_classifier_eval_step(model))
+
+    print(f"STATS: params={params_str(state.params)}, "
+          f"trn_len={len(train_loader)}, val_len={len(valid_loader)}")
+    print(f"PARAMS: {vit_config}")
+
+    best_acc = 0.0
+    for epoch in range(args.epochs):
+        st = time.time()
+        window_metrics = []
+        for i, (images, labels) in enumerate(train_loader):
+            load_time = time.time() - st
+            state, metrics = train_step(state, jnp.asarray(images),
+                                        jnp.asarray(labels), rng)
+            window_metrics.append(metrics)
+            if i % args.log_every == 0:
+                jax.block_until_ready(state.params)
+                step_time = time.time() - st - load_time
+                loss = float(jax.device_get(metrics["train/loss"]))
+                logger.log({"train/loss": loss,
+                            "train/acc": float(jax.device_get(metrics["train/acc"])),
+                            "train/epoch": epoch,
+                            "benchmark/load_time": load_time,
+                            "benchmark/step_time": step_time},
+                           step=int(state.step))
+                print(f"e={epoch} i={i} loss={loss:.3f} "
+                      f"load_time={load_time:.3f} step_time={step_time:.3f}")
+            st = time.time()
+
+        # per-epoch validation (reference train_vit.py:114-125)
+        val_loss, acc, n = 0.0, 0.0, 0
+        for images, labels in valid_loader:
+            m = eval_step(state.params, jnp.asarray(images), jnp.asarray(labels))
+            val_loss += float(jax.device_get(m["valid/loss"]))
+            acc += float(jax.device_get(m["valid/acc"]))
+            n += 1
+        val_loss /= max(n, 1)
+        acc /= max(n, 1)
+        print(f"epoch {epoch}: val_loss={val_loss:.3f}, acc={acc:.3f}")
+        logger.log({"valid/loss": val_loss, "valid/acc": acc}, step=int(state.step))
+        if acc > best_acc:
+            best_acc = acc
+            ckpt.save_if_best(state, acc, config=vit_config)
+
+    logger.close()
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,125 @@
+"""Shared pre-LN transformer core (Flax).
+
+Capability-parity rebuild of the reference's minimal transformer (transformer.py:16-54):
+pre-LN blocks of [LayerNorm → fused QKV attention] and [LayerNorm → 4× GELU MLP →
+Dropout], residual adds around both, optional causal masking. The same module also
+covers the Bytedance ``ResidualAttentionBlock`` layout (blocks.py:32-70) via
+``ln_affine=True, attn_out_proj=True`` in the config — it is the same math with affine
+LayerNorms and an attention output projection.
+
+TPU-native aspects:
+  - attention dispatches to the fused Pallas kernel (vit_tpu/kernels/attention.py);
+  - LayerNorm statistics in fp32 inside a bf16 compute graph;
+  - optional ``jax.checkpoint`` rematerialization per block (cfg.remat), the TPU
+    equivalent of torch.utils.checkpoint at reference blocks.py:192;
+  - batch-first (B, S, D) layout everywhere — no LND permutes (blocks.py:268-271 is a
+    cuDNN-ism with no TPU benefit).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from einops import rearrange
+from flax import linen as nn
+
+from vit_tpu.core.config import TransformerConfig
+from vit_tpu.ops.attention import multi_head_attention
+from vit_tpu.utils.init import dense
+
+
+class LayerNorm(nn.Module):
+    """LayerNorm with fp32 statistics; affine params optional (reference uses
+    F.layer_norm without affine in the minimal core, transformer.py:43-44)."""
+
+    config: TransformerConfig
+
+    @nn.compact
+    def __call__(self, x):
+        cfg = self.config
+        ln = nn.LayerNorm(
+            epsilon=1e-5,
+            use_scale=cfg.ln_affine,
+            use_bias=cfg.ln_affine,
+            dtype=jnp.float32,
+            param_dtype=cfg.param_dtype,
+        )
+        return ln(x).astype(cfg.dtype)
+
+
+class Attention(nn.Module):
+    """Fused-QKV multi-head self-attention (reference transformer.py:16-29)."""
+
+    config: TransformerConfig
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        cfg = self.config
+        qkv = dense(3 * cfg.n_embd, cfg.n_embd, dtype=cfg.dtype,
+                    param_dtype=cfg.param_dtype, name="qkv")(x)
+        q, k, v = rearrange(qkv, "b n (three h d) -> three b h n d",
+                            three=3, h=cfg.n_heads)
+        dropout_rate = 0.0 if deterministic else cfg.dropout
+        dropout_rng = (self.make_rng("dropout")
+                       if dropout_rate > 0.0 else None)
+        out = multi_head_attention(
+            q, k, v,
+            causal=cfg.causal,
+            dropout_rate=dropout_rate,
+            dropout_rng=dropout_rng,
+            impl=cfg.attn_impl,
+        )
+        out = rearrange(out, "b h n d -> b n (h d)")
+        if cfg.attn_out_proj:
+            out = dense(cfg.n_embd, cfg.n_embd, dtype=cfg.dtype,
+                        param_dtype=cfg.param_dtype, name="out_proj")(out)
+        return out
+
+
+class Mlp(nn.Module):
+    """4× GELU MLP with dropout (reference transformer.py:35-40)."""
+
+    config: TransformerConfig
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        cfg = self.config
+        h = dense(4 * cfg.n_embd, cfg.n_embd, dtype=cfg.dtype,
+                  param_dtype=cfg.param_dtype, name="fc1")(x)
+        h = nn.gelu(h, approximate=False)  # torch nn.GELU default is exact erf
+        h = dense(cfg.n_embd, 4 * cfg.n_embd, dtype=cfg.dtype,
+                  param_dtype=cfg.param_dtype, name="fc2")(h)
+        h = nn.Dropout(rate=cfg.dropout)(h, deterministic=deterministic)
+        return h
+
+
+class TransformerLayer(nn.Module):
+    """Pre-LN block (reference transformer.py:31-45)."""
+
+    config: TransformerConfig
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        x = x + Attention(self.config, name="attn")(
+            LayerNorm(self.config, name="ln1")(x), deterministic)
+        x = x + Mlp(self.config, name="mlp")(
+            LayerNorm(self.config, name="ln2")(x), deterministic)
+        return x
+
+
+class Transformer(nn.Module):
+    """Stack of TransformerLayers (reference transformer.py:47-54)."""
+
+    config: TransformerConfig
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        x = x.astype(self.config.dtype)
+        layer_cls = TransformerLayer
+        if self.config.remat:
+            layer_cls = nn.remat(TransformerLayer, static_argnums=(2,))
+        for i in range(self.config.n_layers):
+            x = layer_cls(self.config, name=f"layer_{i}")(x, deterministic)
+        return x

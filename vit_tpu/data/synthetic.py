@@ -1,0 +1,63 @@
+"""Synthetic data loaders for smoke tests and benchmarks.
+
+The reference has no synthetic path (its smoke checks were commented-out random-tensor
+blocks, e.g. train_llamagen_titok.py:175-185); the rebuild makes it a first-class
+dataset option so every entry point is runnable on CPU without datasets
+(BASELINE.json configs[0] requires a CPU-runnable train_vit).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+class SyntheticImageLoader:
+    """Yields (images NHWC float32, int labels) batches, deterministic per epoch."""
+
+    def __init__(self, image_size: int, batch_size: int, *, num_classes: int = 1000,
+                 in_channels: int = 3, steps_per_epoch: int = 50, seed: int = 0):
+        self.image_size = image_size
+        self.batch_size = batch_size
+        self.num_classes = num_classes
+        self.in_channels = in_channels
+        self.steps_per_epoch = steps_per_epoch
+        self.seed = seed
+
+    def __len__(self):
+        return self.steps_per_epoch
+
+    def __iter__(self):
+        rng = np.random.default_rng(self.seed)
+        for _ in range(self.steps_per_epoch):
+            images = rng.standard_normal(
+                (self.batch_size, self.image_size, self.image_size,
+                 self.in_channels), dtype=np.float32)
+            labels = rng.integers(0, self.num_classes, self.batch_size,
+                                  dtype=np.int32)
+            yield images, labels
+
+
+class SyntheticVideoLoader:
+    """Yields (videos (B,T,H,W,C) uint8, dummy actions) batches — shape-compatible
+    with the DMLab video loader (reference datasets.py:128-131)."""
+
+    def __init__(self, batch_size: int, *, frames: int = 32, image_size: int = 64,
+                 steps_per_epoch: int = 10, seed: int = 0):
+        self.batch_size = batch_size
+        self.frames = frames
+        self.image_size = image_size
+        self.steps_per_epoch = steps_per_epoch
+        self.seed = seed
+
+    def __len__(self):
+        return self.steps_per_epoch
+
+    def __iter__(self):
+        rng = np.random.default_rng(self.seed)
+        for _ in range(self.steps_per_epoch):
+            videos = rng.integers(
+                0, 256,
+                (self.batch_size, self.frames, self.image_size, self.image_size, 3),
+                dtype=np.uint8)
+            actions = np.zeros((self.batch_size, self.frames), np.int32)
+            yield videos, actions

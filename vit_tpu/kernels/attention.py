@@ -1,0 +1,145 @@
+"""Fused multi-head attention Pallas kernel for TPU.
+
+TPU-native replacement for the reference's ``F.scaled_dot_product_attention`` /
+``nn.MultiheadAttention`` fast paths (reference: transformer.py:28, blocks.py:44,102).
+
+Design (sized for this model family: S ≤ ~4k tokens, head_dim 64):
+  - grid = (B*H, num_q_blocks): each program owns one q block; the full K/V for that
+    (batch, head) sits in VMEM (a few hundred KB at these sequence lengths), so a single
+    stable-softmax pass suffices — no online-softmax accumulation state is needed, while
+    still never materializing the (S, S) score matrix in HBM.
+  - scores and softmax in fp32 (the "fp32 island"); the PV matmul runs in the input
+    dtype on the MXU with fp32 accumulation.
+  - causal masking via 2-D iota comparison — the additive −inf buffer of the reference
+    (transformer.py:22-25) becomes a register-level predicate, no mask tensor in memory.
+  - sequence padding to the 128-lane tile is handled here and masked out, so callers can
+    use the reference's "odd" sequence lengths (e.g. 257 = 1 cls + 256 patches).
+
+Backward: custom VJP that recomputes attention with the XLA path (flash-style remat —
+no residuals besides q,k,v). A fully fused Pallas backward is a planned optimization.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from vit_tpu.ops.attention import attention_xla
+
+_LANE = 128
+_MAX_FUSED_SEQ = 8192  # beyond this, fall back to the XLA path (VMEM budget)
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _fa_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, causal: bool,
+               seq_len: int, block_q: int):
+    """One q-block of fused attention. Shapes: q (1,BQ,D), k/v (1,Sp,D), o (1,BQ,D)."""
+    iq = pl.program_id(1)
+    q = q_ref[0]                      # (BQ, D)
+    k = k_ref[0]                      # (Sp, D)
+    v = v_ref[0]                      # (Sp, D)
+    sp = k.shape[0]
+    bq = q.shape[0]
+
+    s = jax.lax.dot_general(
+        q, k,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale                          # (BQ, Sp) fp32
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (bq, sp), dimension=1)
+    valid = col < seq_len              # mask key padding
+    if causal:
+        row = jax.lax.broadcasted_iota(jnp.int32, (bq, sp), dimension=0)
+        valid = jnp.logical_and(valid, col <= row + iq * block_q)
+    neg = jnp.finfo(jnp.float32).min
+    s = jnp.where(valid, s, neg)
+
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)                 # masked entries: exp(neg - m) ≈ 0
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    o = jax.lax.dot_general(
+        p.astype(v.dtype), v,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) / l
+    o_ref[0] = o.astype(o_ref.dtype)
+
+
+def _flash_attention_fwd_impl(q, k, v, causal: bool):
+    b, h, s, d = q.shape
+    scale = 1.0 / math.sqrt(d)
+    block_q = min(_ceil_to(s, _LANE), 512)
+    sp = _ceil_to(s, block_q)
+
+    def prep(x):
+        x = x.reshape(b * h, s, d)
+        return jnp.pad(x, ((0, 0), (0, sp - s), (0, 0)))
+
+    qf, kf, vf = prep(q), prep(k), prep(v)
+    n_q = sp // block_q
+
+    # Interpret mode makes the kernel runnable on the CPU test mesh
+    # (XLA_FLAGS=--xla_force_host_platform_device_count=8), the JAX-native
+    # "fake backend" this repo uses in place of real multi-chip hardware.
+    interpret = jax.default_backend() != "tpu"
+
+    out = pl.pallas_call(
+        functools.partial(_fa_kernel, scale=scale, causal=causal,
+                          seq_len=s, block_q=block_q),
+        grid=(b * h, n_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda bh, iq: (bh, iq, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sp, d), lambda bh, iq: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sp, d), lambda bh, iq: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda bh, iq: (bh, iq, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b * h, sp, d), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * sp * sp * d,
+            bytes_accessed=(3 * b * h * sp * d + b * h * sp * d) * q.dtype.itemsize,
+            transcendentals=b * h * sp * sp,
+        ),
+        interpret=interpret,
+    )(qf, kf, vf)
+    return out[:, :s, :].reshape(b, h, s, d)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _flash_attention(q, k, v, causal):
+    return _flash_attention_fwd_impl(q, k, v, causal)
+
+
+def _fa_fwd(q, k, v, causal):
+    return _flash_attention_fwd_impl(q, k, v, causal), (q, k, v)
+
+
+def _fa_bwd(causal, res, g):
+    q, k, v = res
+    # Rematerialized backward via the XLA path (same math; fp32 softmax chain).
+    _, vjp = jax.vjp(lambda q_, k_, v_: attention_xla(q_, k_, v_, causal=causal),
+                     q, k, v)
+    return vjp(g)
+
+
+_flash_attention.defvjp(_fa_fwd, _fa_bwd)
+
+
+def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
+                    causal: bool = False) -> jax.Array:
+    """Fused attention. q,k,v: (B, H, S, D) -> (B, H, S, D)."""
+    if q.shape[-2] > _MAX_FUSED_SEQ:
+        return attention_xla(q, k, v, causal=causal)
+    return _flash_attention(q, k, v, causal)

