@@ -1,0 +1,184 @@
+"""TiTok 1-D tokenizer training (TPU-native) — the flagship workload.
+
+CLI-surface parity with the reference train_titok.py:96-113 (same flags/defaults),
+plus rebuild-only flags: --dataset synthetic, --perceptual_weights (converted
+ConvNeXt-S .npz; absent torchvision/network in this env — see
+vit_tpu/losses/perceptual.py), --quantizer fsq (the reference's intended variant),
+--vq_impl/--attn_impl kernel selection, --ckpt_dir, --log_every/--image_every.
+
+Deliberate fixes vs the reference (SURVEY.md §2d): grad clip BEFORE the optimizer
+update (the reference clips after scaler.step — a no-op, train_titok.py:160-162);
+pixel loss keeps the reference's squared-error math (named l1_loss there).
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import jax
+import jax.numpy as jnp
+
+from vit_tpu.data.synthetic import SyntheticImageLoader
+from vit_tpu.models.titok import TiTok, TiTokConfig
+from vit_tpu.train.checkpoint import Checkpointer
+from vit_tpu.train.optim import make_optimizer
+from vit_tpu.train.state import TrainState, params_str
+from vit_tpu.train.step import make_tokenizer_train_step
+from vit_tpu.utils.logging import MetricsLogger
+
+
+def parse_args():
+    parser = argparse.ArgumentParser()
+    # --- reference flag surface (train_titok.py:96-113) ---
+    parser.add_argument('--image_size', type=int, default=128)
+    parser.add_argument('--patch_size', type=int, default=16)
+    parser.add_argument('--latent_tokens', type=int, default=256)
+    parser.add_argument('--codebook_size', type=int, default=2048)
+    parser.add_argument('--latent_dim', type=int, default=12)
+    parser.add_argument('--transformer', type=str, default='B')
+    parser.add_argument('--bs', type=int, default=32)
+    parser.add_argument('--mixed', type=bool, default=True)
+    parser.add_argument('--lr', type=float, default=1e-4)
+    parser.add_argument('--perceptual_weight', type=float, default=1.0)
+    parser.add_argument('--weight_decay', type=float, default=1e-4)
+    parser.add_argument('--warmup_steps', type=int, default=5000)
+    parser.add_argument('--train_steps', type=int, default=1_000_000)
+    parser.add_argument('--dataset', type=str, default='imagenet',
+                        choices=['imagenet', 'dmlab', 'minecraft', 'synthetic'])
+    parser.add_argument('--epochs', type=int, default=100000)
+    # --- rebuild-only flags ---
+    parser.add_argument('--data_dir', type=str, default=None)
+    parser.add_argument('--steps_per_epoch', type=int, default=100)
+    parser.add_argument('--perceptual_weights', type=str, default=None,
+                        help='.npz from scripts/convert_perceptual_weights.py; '
+                             '"random" for arch-only init; omit to disable the term')
+    parser.add_argument('--quantizer', type=str, default='vq', choices=['vq', 'fsq'])
+    parser.add_argument('--attn_impl', type=str, default=None,
+                        choices=[None, 'pallas', 'xla'])
+    parser.add_argument('--ckpt_dir', type=str, default='titok_models')
+    parser.add_argument('--resume', action='store_true')
+    parser.add_argument('--log_every', type=int, default=100)
+    parser.add_argument('--image_every', type=int, default=5000)
+    parser.add_argument('--seed', type=int, default=0)
+    parser.add_argument('--no_wandb', action='store_true')
+    args = parser.parse_args()
+    args.min_lr = args.lr / 10.0  # reference train_titok.py:114
+    return args
+
+
+def get_loader(args):
+    if args.dataset == 'synthetic':
+        return SyntheticImageLoader(args.image_size, args.bs,
+                                    steps_per_epoch=args.steps_per_epoch,
+                                    seed=args.seed)
+    if args.dataset == 'imagenet':
+        from vit_tpu.data.imagenet import get_imagenet_loaders
+
+        return get_imagenet_loaders(args.image_size, args.bs,
+                                    data_dir=args.data_dir)[0]
+    if args.dataset == 'dmlab':
+        assert args.image_size == 64  # reference train_titok.py:120
+        from vit_tpu.data.video import get_dmlab_image_loaders
+
+        return get_dmlab_image_loaders(args.bs, dataset_path=args.data_dir)[0]
+    if args.dataset == 'minecraft':
+        assert args.image_size == 128  # reference train_titok.py:124
+        from vit_tpu.data.video import get_minecraft_image_loaders
+
+        return get_minecraft_image_loaders(args.bs, dataset_path=args.data_dir)[0]
+    raise ValueError(args.dataset)
+
+
+def main():
+    args = parse_args()
+    dtype = jnp.bfloat16 if args.mixed else jnp.float32
+    titok_config = TiTokConfig(args.image_size, args.patch_size, args.latent_tokens,
+                               args.codebook_size, args.latent_dim, args.transformer,
+                               dtype=dtype, attn_impl=args.attn_impl,
+                               quantizer=args.quantizer)
+
+    project_name = {'imagenet': 'titok', 'dmlab': 'titok-dmlab',
+                    'minecraft': 'titok-minecraft',
+                    'synthetic': 'titok-synthetic'}[args.dataset]
+    run_name = (f"{args.patch_size}px_{args.image_size}px_{args.transformer}_"
+                f"{args.latent_tokens}_{args.codebook_size}")
+    logger = MetricsLogger(project_name, run_name, config=vars(args),
+                           use_wandb=not args.no_wandb)
+
+    train_loader = get_loader(args)
+
+    model = TiTok(titok_config)
+    rng = jax.random.PRNGKey(args.seed)
+    init_images = jnp.zeros((1, args.image_size, args.image_size, 3))
+    params = jax.jit(model.init)(rng, init_images)["params"]
+
+    perceptual = None
+    if args.perceptual_weights == "random":
+        from vit_tpu.losses.perceptual import PerceptualLoss
+
+        perceptual = PerceptualLoss(PerceptualLoss.init_params(), dtype=dtype)
+    elif args.perceptual_weights:
+        from vit_tpu.losses.perceptual import PerceptualLoss
+
+        perceptual = PerceptualLoss(PerceptualLoss.load_params(args.perceptual_weights),
+                                    dtype=dtype)
+
+    tx = make_optimizer(args.lr, args.warmup_steps, args.train_steps, args.min_lr,
+                        args.weight_decay, clip_norm=1.0)
+    state = TrainState.create(params, tx)
+
+    ckpt = Checkpointer(args.ckpt_dir, mode="min")
+    if args.resume and ckpt.can_restore():
+        state = ckpt.restore(state)
+        print(f"RESUMED at step {int(state.step)}")
+
+    train_step = jax.jit(
+        make_tokenizer_train_step(
+            model,
+            perceptual_loss_fn=perceptual,
+            perceptual_weight=args.perceptual_weight,
+            pixel_loss="l2",  # reference uses squared error here (train_titok.py:155)
+        ),
+        donate_argnums=(0, 2),
+    )
+
+    print(f"STATS: enc_params={params_str(state.params)}")
+
+    best_recon = float('inf')
+    usage = jnp.zeros((titok_config.codebook_size,), jnp.float32)
+    for epoch in range(args.epochs):
+        st = time.time()
+        for i, (images, _) in enumerate(train_loader):
+            load_time = time.time() - st
+            images = jnp.asarray(images)
+            state, usage, metrics, recon = train_step(state, images, usage, rng)
+            if i % args.log_every == 0:
+                jax.block_until_ready(state.params)
+                step_time = time.time() - st - load_time
+                host = {k: float(jax.device_get(v)) for k, v in metrics.items()}
+                host.update({"train/epoch": epoch,
+                             "benchmark/load_time": load_time,
+                             "benchmark/step_time": step_time})
+                logger.log(host, step=int(state.step))
+                print(f"e={epoch} i={i} loss={host['train/loss']:.3f} "
+                      f"recon={host['train/recon_loss']:.3f} "
+                      f"quant={host['train/quant_loss']:.3f} "
+                      f"usage={host['train/codebook_usage']:.3f} "
+                      f"step_time={step_time:.3f}")
+                if host["train/recon_loss"] < best_recon:
+                    best_recon = host["train/recon_loss"]
+                    ckpt.save_if_best(state, host["train/recon_loss"],
+                                      config=titok_config)
+            if i % args.image_every == 0:
+                logger.log_images({"images": jax.device_get(images[:4]),
+                                   "reconstructions": jax.device_get(recon[:4])},
+                                  step=int(state.step))
+                usage = usage * 0.0  # reset bitmap (reference train_titok.py:175)
+            st = time.time()
+
+    logger.close()
+
+
+if __name__ == '__main__':
+    main()

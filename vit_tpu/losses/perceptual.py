@@ -1,0 +1,126 @@
+"""ConvNeXt-S perceptual loss (reference perceptual_loss.py:27-70).
+
+The reference compares the torchvision ConvNeXt-Small classifier logits of the two
+images (after bilinear+antialias resize to 224 and ImageNet normalization) with MSE.
+This is a faithful Flax rebuild of that architecture, running on-chip inside the jitted
+loss (no host round-trip, unlike the reference's separate frozen torch module).
+
+Weights: this environment has no torchvision and no network egress, so pretrained
+ImageNet weights cannot be materialized here. The module supports
+  (a) loading converted weights from an .npz produced by
+      scripts/convert_perceptual_weights.py (run it anywhere torchvision is available), or
+  (b) deterministic random initialization (``init_params``) — architecture-correct,
+      useful for smoke/perf runs; reconstruction-parity evaluation requires (a).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)
+
+# ConvNeXt-Small (torchvision convnext_small): depths / widths
+CONVNEXT_S_DEPTHS = (3, 3, 27, 3)
+CONVNEXT_S_DIMS = (96, 192, 384, 768)
+
+
+class ConvNeXtBlock(nn.Module):
+    """7×7 depthwise conv → LN → 4× MLP with GELU → layer-scale, residual."""
+
+    dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.Conv(self.dim, (7, 7), padding=3, feature_group_count=self.dim,
+                    dtype=self.dtype, name="dwconv")(x)
+        h = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm")(h)
+        h = nn.Dense(4 * self.dim, dtype=self.dtype, name="pwconv1")(h)
+        h = nn.gelu(h, approximate=False)
+        h = nn.Dense(self.dim, dtype=self.dtype, name="pwconv2")(h)
+        gamma = self.param("gamma", nn.initializers.constant(1e-6), (self.dim,),
+                           jnp.float32)
+        return x + gamma.astype(h.dtype) * h
+
+
+class ConvNeXt(nn.Module):
+    """ConvNeXt classifier, NHWC. Defaults = ConvNeXt-Small."""
+
+    depths: Sequence[int] = CONVNEXT_S_DEPTHS
+    dims: Sequence[int] = CONVNEXT_S_DIMS
+    num_classes: int = 1000
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        # stem: 4×4 stride-4 conv + LN (channels-last here)
+        x = nn.Conv(self.dims[0], (4, 4), strides=(4, 4), dtype=self.dtype,
+                    name="stem_conv")(x)
+        x = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="stem_norm")(x)
+        for stage, (depth, dim) in enumerate(zip(self.depths, self.dims)):
+            if stage > 0:
+                x = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32,
+                                 name=f"downsample_norm_{stage}")(x)
+                x = nn.Conv(dim, (2, 2), strides=(2, 2), dtype=self.dtype,
+                            name=f"downsample_conv_{stage}")(x)
+            for block in range(depth):
+                x = ConvNeXtBlock(dim, dtype=self.dtype,
+                                  name=f"stage{stage}_block{block}")(x)
+        x = jnp.mean(x, axis=(1, 2))  # global average pool
+        x = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="head_norm")(x)
+        return nn.Dense(self.num_classes, dtype=jnp.float32, name="head")(x)
+
+
+class PerceptualLoss:
+    """Frozen ConvNeXt-S logit-matching loss (reference perceptual_loss.py:56-70)."""
+
+    def __init__(self, params=None, *, dtype=jnp.float32):
+        self.model = ConvNeXt(dtype=dtype)
+        self.params = params
+
+    @staticmethod
+    def init_params(seed: int = 0):
+        model = ConvNeXt()
+        return model.init(jax.random.PRNGKey(seed),
+                          jnp.zeros((1, 224, 224, 3)))["params"]
+
+    @staticmethod
+    def load_params(path: str):
+        """Load weights converted by scripts/convert_perceptual_weights.py (.npz of
+        flattened 'a/b/c' → array entries)."""
+        flat = dict(np.load(path))
+        tree: dict = {}
+        for key, value in flat.items():
+            node = tree
+            parts = key.split("/")
+            for p in parts[:-1]:
+                node = node.setdefault(p, {})
+            node[parts[-1]] = jnp.asarray(value)
+        return tree
+
+    def __call__(self, x: jax.Array, y: jax.Array) -> jax.Array:
+        """x, y: (B, H, W, 3) NHWC in [0, 1] → scalar MSE between logits."""
+        if self.params is None:
+            raise ValueError("PerceptualLoss has no params; pass converted weights "
+                             "or PerceptualLoss.init_params()")
+
+        def prep(img):
+            img = jax.image.resize(
+                img.astype(jnp.float32),
+                (img.shape[0], 224, 224, img.shape[3]),
+                method="bilinear", antialias=True)  # matches F.interpolate(...,
+            # mode='bilinear', antialias=True), reference perceptual_loss.py:61-62
+            mean = jnp.asarray(IMAGENET_MEAN)
+            std = jnp.asarray(IMAGENET_STD)
+            return (img - mean) / std
+
+        logits_x = self.model.apply({"params": self.params}, prep(x))
+        logits_y = self.model.apply({"params": self.params}, prep(y))
+        return jnp.mean((logits_x - logits_y) ** 2)

@@ -39,6 +39,50 @@ def make_classifier_train_step(model) -> Callable:
     return train_step
 
 
+def make_tokenizer_train_step(model, *, perceptual_loss_fn: Optional[Callable] = None,
+                              perceptual_weight: float = 1.0,
+                              pixel_loss: str = "l2") -> Callable:
+    """Tokenizer (TiTok / ViT-VQGAN) step.
+
+    Reference loop bodies: train_titok.py:149-163 (pixel loss is squared error despite
+    the ``l1_loss`` variable name), train_vit_vqgan.py:149-160 (true L1). Codebook
+    usage is tracked as an on-device bitmap updated by scatter, replacing the
+    reference's ``codebook_usage[indices] = 1`` (train_titok.py:164-167).
+    """
+
+    def train_step(state: TrainState, images, usage, rng):
+        rng = jax.random.fold_in(rng, state.step)
+
+        def loss_fn(params):
+            recon, indices, quantize_loss = model.apply(
+                {"params": params}, images, False, rngs={"dropout": rng})
+            recon32 = recon.astype(jnp.float32)
+            images32 = images.astype(jnp.float32)
+            if pixel_loss == "l1":
+                pix = jnp.mean(jnp.abs(recon32 - images32))
+            else:
+                pix = jnp.mean((recon32 - images32) ** 2)
+            if perceptual_loss_fn is not None:
+                perc = perceptual_weight * perceptual_loss_fn(recon32, images32)
+            else:
+                perc = jnp.zeros((), jnp.float32)
+            recon_loss = pix + perc
+            loss = recon_loss + quantize_loss
+            metrics = {"train/loss": loss, "train/recon_loss": recon_loss,
+                       "train/quant_loss": quantize_loss,
+                       "train/perceptual_loss": perc, "train/l1_loss": pix}
+            return loss, (indices, metrics, recon)
+
+        (_, (indices, metrics, recon)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        state = state.apply_gradients(grads=grads)
+        usage = usage.at[indices.reshape(-1)].set(1.0)
+        metrics["train/codebook_usage"] = usage.mean()
+        return state, usage, metrics, recon
+
+    return train_step
+
+
 def make_classifier_eval_step(model) -> Callable:
     """Validation step (reference train_vit.py:114-125): CE loss + accuracy."""
 

@@ -64,6 +64,27 @@ class MetricsLogger:
         self._fh.write(json.dumps(payload) + "\n")
         self._fh.flush()
 
+    def log_images(self, images: Dict[str, Any], step: Optional[int] = None):
+        """Log image grids (reference logs wandb.Image grids, train_titok.py:173-177).
+        Without wandb, PNGs are written next to the JSONL under <run>/images/."""
+        import numpy as np
+
+        if self._wandb_run is not None:
+            self._wandb_run.log(
+                {k: [_wandb.Image(np.asarray(img)) for img in v]
+                 for k, v in images.items()}, step=step)
+            return
+        from PIL import Image
+
+        img_dir = self.path.parent / f"{self.name}_images"
+        img_dir.mkdir(parents=True, exist_ok=True)
+        for key, batch in images.items():
+            arr = np.asarray(batch)
+            for j, img in enumerate(arr):
+                img8 = np.clip(img * 255.0, 0, 255).astype(np.uint8)
+                Image.fromarray(img8).save(
+                    img_dir / f"{key}_{step if step is not None else 0}_{j}.png")
+
     def close(self):
         if self._wandb_run is not None:
             self._wandb_run.finish()
