@@ -1,0 +1,87 @@
+"""Headline benchmark: TiTok ViT-B-scale training-step throughput per chip.
+
+Measures the full flagship workload (BASELINE.json north_star): TiTok-B tokenizer
+(image 128, patch 16, 256 latent tokens, codebook 2048 — the reference
+train_titok.py defaults) full training step including the ConvNeXt-S perceptual loss
+(randomly initialized here: identical compute graph; pretrained weights are not
+materializable in this environment — see vit_tpu/losses/perceptual.py).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline: the reference publishes no numbers (BASELINE.md). The denominator is a
+documented estimate of the reference stack's per-GPU throughput on its era-typical
+hardware (RTX 3090/4090-class, PyTorch AMP, unfused attention+VQ):
+~35 TFLOP/s effective on a ~220 GFLOP/image workload → ~160 img/s.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+REFERENCE_IMG_PER_S_ESTIMATE = 160.0
+
+
+def main():
+    from vit_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--bs", type=int, default=64)
+    parser.add_argument("--steps", type=int, default=20)
+    parser.add_argument("--warmup", type=int, default=3)
+    parser.add_argument("--no_perceptual", action="store_true")
+    args = parser.parse_args()
+
+    from vit_tpu.losses.perceptual import PerceptualLoss
+    from vit_tpu.models.titok import TiTok, TiTokConfig
+    from vit_tpu.train.optim import make_optimizer
+    from vit_tpu.train.state import TrainState
+    from vit_tpu.train.step import make_tokenizer_train_step
+
+    config = TiTokConfig(image_size=128, patch_size=16, latent_tokens=256,
+                         codebook_size=2048, latent_dim=12, transformer="B")
+    model = TiTok(config)
+    rng = jax.random.PRNGKey(0)
+    images = jax.random.uniform(rng, (args.bs, 128, 128, 3), jnp.float32)
+    params = jax.jit(model.init)(rng, images[:1])["params"]
+
+    perceptual = None
+    if not args.no_perceptual:
+        perceptual = PerceptualLoss(PerceptualLoss.init_params(),
+                                    dtype=jnp.bfloat16)
+
+    tx = make_optimizer(1e-4, 5000, 1_000_000, 1e-5, 1e-4, clip_norm=1.0)
+    state = TrainState.create(params, tx)
+    usage = jnp.zeros((config.codebook_size,), jnp.float32)
+
+    step = jax.jit(
+        make_tokenizer_train_step(model, perceptual_loss_fn=perceptual,
+                                  perceptual_weight=1.0),
+        donate_argnums=(0, 2),
+    )
+
+    for _ in range(args.warmup):
+        state, usage, metrics, _ = step(state, images, usage, rng)
+    jax.block_until_ready(state.params)
+
+    t0 = time.perf_counter()
+    for _ in range(args.steps):
+        state, usage, metrics, _ = step(state, images, usage, rng)
+    jax.block_until_ready(state.params)
+    dt = time.perf_counter() - t0
+
+    img_per_s = args.bs * args.steps / dt
+    print(json.dumps({
+        "metric": "titok_b_train_images_per_sec_per_chip",
+        "value": round(img_per_s, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(img_per_s / REFERENCE_IMG_PER_S_ESTIMATE, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

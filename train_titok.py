@@ -14,18 +14,12 @@ pixel loss keeps the reference's squared-error math (named l1_loss there).
 from __future__ import annotations
 
 import argparse
-import time
 
-import jax
 import jax.numpy as jnp
 
 from vit_tpu.data.synthetic import SyntheticImageLoader
 from vit_tpu.models.titok import TiTok, TiTokConfig
-from vit_tpu.train.checkpoint import Checkpointer
-from vit_tpu.train.optim import make_optimizer
-from vit_tpu.train.state import TrainState, params_str
-from vit_tpu.train.step import make_tokenizer_train_step
-from vit_tpu.utils.logging import MetricsLogger
+from vit_tpu.train.loop import run_tokenizer_training
 
 
 def parse_args():
@@ -91,6 +85,8 @@ def get_loader(args):
 
 
 def main():
+    from vit_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     args = parse_args()
     dtype = jnp.bfloat16 if args.mixed else jnp.float32
     titok_config = TiTokConfig(args.image_size, args.patch_size, args.latent_tokens,
@@ -103,81 +99,15 @@ def main():
                     'synthetic': 'titok-synthetic'}[args.dataset]
     run_name = (f"{args.patch_size}px_{args.image_size}px_{args.transformer}_"
                 f"{args.latent_tokens}_{args.codebook_size}")
-    logger = MetricsLogger(project_name, run_name, config=vars(args),
-                           use_wandb=not args.no_wandb)
 
     train_loader = get_loader(args)
-
     model = TiTok(titok_config)
-    rng = jax.random.PRNGKey(args.seed)
-    init_images = jnp.zeros((1, args.image_size, args.image_size, 3))
-    params = jax.jit(model.init)(rng, init_images)["params"]
-
-    perceptual = None
-    if args.perceptual_weights == "random":
-        from vit_tpu.losses.perceptual import PerceptualLoss
-
-        perceptual = PerceptualLoss(PerceptualLoss.init_params(), dtype=dtype)
-    elif args.perceptual_weights:
-        from vit_tpu.losses.perceptual import PerceptualLoss
-
-        perceptual = PerceptualLoss(PerceptualLoss.load_params(args.perceptual_weights),
-                                    dtype=dtype)
-
-    tx = make_optimizer(args.lr, args.warmup_steps, args.train_steps, args.min_lr,
-                        args.weight_decay, clip_norm=1.0)
-    state = TrainState.create(params, tx)
-
-    ckpt = Checkpointer(args.ckpt_dir, mode="min")
-    if args.resume and ckpt.can_restore():
-        state = ckpt.restore(state)
-        print(f"RESUMED at step {int(state.step)}")
-
-    train_step = jax.jit(
-        make_tokenizer_train_step(
-            model,
-            perceptual_loss_fn=perceptual,
-            perceptual_weight=args.perceptual_weight,
-            pixel_loss="l2",  # reference uses squared error here (train_titok.py:155)
-        ),
-        donate_argnums=(0, 2),
+    run_tokenizer_training(
+        args, model, titok_config, train_loader,
+        project_name=project_name, run_name=run_name,
+        codebook_size=titok_config.codebook_size,
+        pixel_loss="l2",  # reference uses squared error here (train_titok.py:155)
     )
-
-    print(f"STATS: enc_params={params_str(state.params)}")
-
-    best_recon = float('inf')
-    usage = jnp.zeros((titok_config.codebook_size,), jnp.float32)
-    for epoch in range(args.epochs):
-        st = time.time()
-        for i, (images, _) in enumerate(train_loader):
-            load_time = time.time() - st
-            images = jnp.asarray(images)
-            state, usage, metrics, recon = train_step(state, images, usage, rng)
-            if i % args.log_every == 0:
-                jax.block_until_ready(state.params)
-                step_time = time.time() - st - load_time
-                host = {k: float(jax.device_get(v)) for k, v in metrics.items()}
-                host.update({"train/epoch": epoch,
-                             "benchmark/load_time": load_time,
-                             "benchmark/step_time": step_time})
-                logger.log(host, step=int(state.step))
-                print(f"e={epoch} i={i} loss={host['train/loss']:.3f} "
-                      f"recon={host['train/recon_loss']:.3f} "
-                      f"quant={host['train/quant_loss']:.3f} "
-                      f"usage={host['train/codebook_usage']:.3f} "
-                      f"step_time={step_time:.3f}")
-                if host["train/recon_loss"] < best_recon:
-                    best_recon = host["train/recon_loss"]
-                    ckpt.save_if_best(state, host["train/recon_loss"],
-                                      config=titok_config)
-            if i % args.image_every == 0:
-                logger.log_images({"images": jax.device_get(images[:4]),
-                                   "reconstructions": jax.device_get(recon[:4])},
-                                  step=int(state.step))
-                usage = usage * 0.0  # reset bitmap (reference train_titok.py:175)
-            st = time.time()
-
-    logger.close()
 
 
 if __name__ == '__main__':

@@ -1,0 +1,227 @@
+"""VideoGPT training (TPU-native): frozen TiTok tokenizer → causal AR prior.
+
+CLI-surface parity with the reference train_videogpt.py:72-87 (same flags/defaults),
+plus rebuild-only flags: --dataset synthetic, --tokenizer_ckpt (an orbax TiTok
+checkpoint dir from train_titok.py, replacing the reference's external
+``oned_tokenizer`` TATiTok checkpoint, test_import.py:18-29; "random" gives an
+untrained tokenizer for smoke runs).
+
+TPU-native structure: per-frame tokenization of the frozen tokenizer and the AR train
+step are ONE jitted program (the reference runs a separate no_grad encode in the loop,
+train_videogpt.py:124-127); generation evals use the KV-cache O(n) decoder
+(vit_tpu/models/videogpt.py) instead of the reference's O(n²) re-forward.
+
+Deliberate divergence (SURVEY.md §2d quirk 6): video frames are normalized to [0,1]
+floats before the tokenizer — the reference feeds raw uint8.
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from einops import rearrange
+
+from vit_tpu.data.synthetic import SyntheticVideoLoader
+from vit_tpu.models.titok import TiTok, TiTokConfig
+from vit_tpu.models.videogpt import VideoGPT, VideoGPTConfig, generate_frames
+from vit_tpu.train.checkpoint import Checkpointer
+from vit_tpu.train.optim import make_optimizer
+from vit_tpu.train.state import TrainState, params_str
+from vit_tpu.utils.logging import MetricsLogger
+
+
+def parse_args():
+    parser = argparse.ArgumentParser()
+    # --- reference flag surface (train_videogpt.py:72-87) ---
+    parser.add_argument('--frame_size', type=int, default=64)
+    parser.add_argument('--codebook_size', type=int, default=1024)
+    parser.add_argument('--transformer', type=str, default='B')
+    parser.add_argument('--max_frames', type=int, default=16)
+    parser.add_argument('--condition_frames', type=int, default=8)
+    parser.add_argument('--dropout', type=float, default=0.0)
+    parser.add_argument('--bs', type=int, default=32)
+    parser.add_argument('--mixed', type=bool, default=True)
+    parser.add_argument('--lr', type=float, default=1e-4)
+    parser.add_argument('--weight_decay', type=float, default=1e-4)
+    parser.add_argument('--warmup_steps', type=int, default=5000)
+    parser.add_argument('--train_steps', type=int, default=500000)
+    parser.add_argument('--dataset', type=str, default='dmlab',
+                        choices=['dmlab', 'synthetic'])
+    parser.add_argument('--epochs', type=int, default=100000)
+    # --- rebuild-only flags ---
+    parser.add_argument('--data_dir', type=str, default=None)
+    parser.add_argument('--tokenizer_ckpt', type=str, default='random',
+                        help='orbax TiTok checkpoint dir (train_titok.py --ckpt_dir) '
+                             'or "random" for an untrained tokenizer (smoke)')
+    parser.add_argument('--image_size', type=int, default=64)
+    parser.add_argument('--steps_per_epoch', type=int, default=50)
+    parser.add_argument('--attn_impl', type=str, default=None,
+                        choices=[None, 'pallas', 'xla'])
+    parser.add_argument('--ckpt_dir', type=str, default='ckpt/videogpt')
+    parser.add_argument('--resume', action='store_true')
+    parser.add_argument('--log_every', type=int, default=100)
+    parser.add_argument('--gen_every', type=int, default=1000)
+    parser.add_argument('--seed', type=int, default=0)
+    parser.add_argument('--no_wandb', action='store_true')
+    args = parser.parse_args()
+    args.min_lr = args.lr / 10.0
+    assert args.condition_frames < args.max_frames  # reference train_videogpt.py:89
+    return args
+
+
+def load_tokenizer(args, dtype):
+    """Frozen TiTok: (model, params). Checkpoint config wins over CLI dims."""
+    import json
+    from pathlib import Path
+
+    from vit_tpu.utils.config import dataclass_from_dict
+
+    if args.tokenizer_ckpt == 'random':
+        cfg = TiTokConfig(args.image_size, 8, args.frame_size, args.codebook_size,
+                          12, 'S', dtype=dtype, attn_impl=args.attn_impl)
+        model = TiTok(cfg)
+        params = jax.jit(model.init)(
+            jax.random.PRNGKey(123),
+            jnp.zeros((1, args.image_size, args.image_size, 3)))["params"]
+        return model, params
+    ckpt_dir = Path(args.tokenizer_ckpt)
+    cfg_dict = json.loads((ckpt_dir / "best_config.json").read_text())
+    cfg = dataclass_from_dict(TiTokConfig, cfg_dict)
+    cfg.dtype = dtype
+    cfg.__post_init__()
+    model = TiTok(cfg)
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, cfg.image_size, cfg.image_size, 3)))["params"]
+    tx = make_optimizer(1e-4, 1, 10, 1e-5, 0.0)
+    state = Checkpointer(str(ckpt_dir)).restore(TrainState.create(params, tx),
+                                                tag="best")
+    return model, state.params
+
+
+def make_videogpt_train_step(model: VideoGPT, titok: TiTok):
+    """Fused frozen-tokenize + AR CE step (reference loop train_videogpt.py:118-136)."""
+
+    def train_step(state: TrainState, titok_params, videos):
+        b, t = videos.shape[0], videos.shape[1]
+
+        def tokenize(v):
+            frames = rearrange(v, "b t h w c -> (b t) h w c")
+            idx = titok.apply({"params": titok_params}, frames, method="encode")
+            return rearrange(idx, "(b t) n -> b t n", b=b)
+
+        tokens = jax.lax.stop_gradient(tokenize(videos))
+
+        def loss_fn(params):
+            _, loss = model.apply({"params": params}, tokens)
+            return loss
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        state = state.apply_gradients(grads=grads)
+        return state, tokens, {"train/loss": loss}
+
+    return train_step
+
+
+def main():
+    from vit_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+    args = parse_args()
+    dtype = jnp.bfloat16 if args.mixed else jnp.float32
+
+    titok_model, titok_params = load_tokenizer(args, dtype)
+    args.frame_size = titok_model.config.latent_tokens
+    args.codebook_size = titok_model.config.codebook_size
+    args.image_size = titok_model.config.image_size
+
+    videogpt_config = VideoGPTConfig(args.frame_size, args.codebook_size,
+                                     args.transformer, args.max_frames, args.dropout,
+                                     dtype=dtype, attn_impl=args.attn_impl)
+    model = VideoGPT(videogpt_config)
+
+    project_name = f"videogpt-{args.dataset}"
+    run_name = (f"{args.frame_size}_{args.transformer}_{args.codebook_size}_"
+                f"{args.max_frames}frames")
+    logger = MetricsLogger(project_name, run_name, config=vars(args),
+                           use_wandb=not args.no_wandb)
+
+    if args.dataset == 'synthetic':
+        train_loader = SyntheticVideoLoader(args.bs, frames=args.max_frames * 2,
+                                            image_size=args.image_size,
+                                            steps_per_epoch=args.steps_per_epoch,
+                                            seed=args.seed)
+    else:
+        from vit_tpu.data.video import get_dmlab_video_loaders
+
+        train_loader = get_dmlab_video_loaders(args.bs,
+                                               dataset_path=args.data_dir)[0]
+
+    rng = jax.random.PRNGKey(args.seed)
+    dummy_tokens = jnp.zeros((1, args.max_frames, args.frame_size), jnp.int32)
+    params = jax.jit(model.init)(rng, dummy_tokens)["params"]
+    tx = make_optimizer(args.lr, args.warmup_steps, args.train_steps, args.min_lr,
+                        args.weight_decay, clip_norm=None)
+    state = TrainState.create(params, tx)
+
+    ckpt = Checkpointer(args.ckpt_dir, mode="min")
+    if args.resume and ckpt.can_restore():
+        state = ckpt.restore(state)
+        print(f"RESUMED at step {int(state.step)}")
+
+    train_step = jax.jit(make_videogpt_train_step(model, titok_model),
+                         donate_argnums=(0,))
+
+    print(f"STATS: titok_params={params_str(titok_params)}, "
+          f"video_gpt_params={params_str(state.params)}")
+
+    host_rng = np.random.default_rng(args.seed)
+    steps = 0
+    for epoch in range(args.epochs):
+        st = time.time()
+        for videos, _ in train_loader:
+            videos = np.asarray(videos)
+            # random temporal crop (reference train_videogpt.py:120-121)
+            offset = int(host_rng.integers(0, max(videos.shape[1] - args.max_frames, 1)))
+            clip = videos[:, offset:offset + args.max_frames]
+            clip = jnp.asarray(clip, jnp.float32) / 255.0
+            load_time = time.time() - st
+            state, tokens, metrics = train_step(state, titok_params, clip)
+            if steps % args.log_every == 0:
+                jax.block_until_ready(state.params)
+                step_time = time.time() - st - load_time
+                loss = float(jax.device_get(metrics["train/loss"]))
+                logger.log({"train/loss": loss, "train/epoch": epoch,
+                            "train/steps": steps,
+                            "benchmark/load_time": load_time,
+                            "benchmark/step_time": step_time},
+                           step=int(state.step))
+                print(f"e={epoch} s={steps} loss={loss:.3f} "
+                      f"step_time={step_time:.3f}")
+                ckpt.save_if_best(state, loss, config=videogpt_config)
+            if steps % args.gen_every == 0:
+                # conditional generation eval (reference train_videogpt.py:141-158)
+                cond = tokens[:2, :args.condition_frames]
+                gen_tokens = generate_frames(model, state.params, cond,
+                                             args.max_frames - args.condition_frames)
+                gen_frames = rearrange(gen_tokens, "b (t n) -> (b t) n",
+                                       n=args.frame_size)
+                gen_video = titok_model.apply({"params": titok_params}, gen_frames,
+                                              method="decode_indices")
+                gen_video = jnp.clip(gen_video, 0.0, 1.0)
+                gen_video = rearrange(gen_video, "(b t) h w c -> b h (t w) c", b=2)
+                real = rearrange(clip[:2], "b t h w c -> b h (t w) c")
+                logger.log_images({"video": jax.device_get(real),
+                                   "gen_video": jax.device_get(gen_video)},
+                                  step=int(state.step))
+            steps += 1
+            st = time.time()
+
+    logger.close()
+
+
+if __name__ == '__main__':
+    main()

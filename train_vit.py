@@ -85,6 +85,8 @@ def get_loaders(args):
 
 
 def main():
+    from vit_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     args = parse_args()
     dtype = jnp.bfloat16 if args.mixed else jnp.float32
     vit_config = ViTConfig(args.image_size, args.in_channels, args.patch_size,

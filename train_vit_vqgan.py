@@ -1,0 +1,95 @@
+"""ViT-VQGAN training (TPU-native).
+
+CLI-surface parity with the reference train_vit_vqgan.py:94-111 (same flags/defaults,
+including the vestigial --latent_tokens flag the reference accepts but derives from
+n_patches instead), plus the rebuild-only flags shared with train_titok.py.
+
+Differences from train_titok: true L1 pixel loss (reference train_vit_vqgan.py:152)
+and a 500-step log cadence (train_vit_vqgan.py:161).
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import jax.numpy as jnp
+
+from vit_tpu.data.synthetic import SyntheticImageLoader
+from vit_tpu.models.vit_vqgan import ViTVQGAN, ViTVQGANConfig
+from vit_tpu.train.loop import run_tokenizer_training
+
+
+def parse_args():
+    parser = argparse.ArgumentParser()
+    # --- reference flag surface (train_vit_vqgan.py:94-111) ---
+    parser.add_argument('--image_size', type=int, default=128)
+    parser.add_argument('--patch_size', type=int, default=16)
+    parser.add_argument('--latent_tokens', type=int, default=256)  # accepted, unused
+    parser.add_argument('--codebook_size', type=int, default=2048)
+    parser.add_argument('--latent_dim', type=int, default=12)
+    parser.add_argument('--transformer', type=str, default='B')
+    parser.add_argument('--bs', type=int, default=32)
+    parser.add_argument('--mixed', type=bool, default=True)
+    parser.add_argument('--lr', type=float, default=1e-4)
+    parser.add_argument('--weight_decay', type=float, default=1e-4)
+    parser.add_argument('--warmup_steps', type=int, default=5000)
+    parser.add_argument('--train_steps', type=int, default=500000)
+    parser.add_argument('--dataset', type=str, default='imagenet',
+                        choices=['imagenet', 'synthetic'])
+    parser.add_argument('--epochs', type=int, default=100000)
+    # --- rebuild-only flags ---
+    parser.add_argument('--data_dir', type=str, default=None)
+    parser.add_argument('--steps_per_epoch', type=int, default=100)
+    parser.add_argument('--perceptual_weights', type=str, default=None)
+    parser.add_argument('--perceptual_weight', type=float, default=1.0)
+    parser.add_argument('--quantizer', type=str, default='vq', choices=['vq', 'fsq'])
+    parser.add_argument('--attn_impl', type=str, default=None,
+                        choices=[None, 'pallas', 'xla'])
+    parser.add_argument('--ckpt_dir', type=str, default='titok_models/vit_vqgan')
+    parser.add_argument('--resume', action='store_true')
+    parser.add_argument('--log_every', type=int, default=500)  # reference :161
+    parser.add_argument('--image_every', type=int, default=5000)
+    parser.add_argument('--seed', type=int, default=0)
+    parser.add_argument('--no_wandb', action='store_true')
+    args = parser.parse_args()
+    args.min_lr = args.lr / 10.0
+    return args
+
+
+def get_loader(args):
+    if args.dataset == 'synthetic':
+        return SyntheticImageLoader(args.image_size, args.bs,
+                                    steps_per_epoch=args.steps_per_epoch,
+                                    seed=args.seed)
+    from vit_tpu.data.imagenet import get_imagenet_loaders
+
+    return get_imagenet_loaders(args.image_size, args.bs, data_dir=args.data_dir)[0]
+
+
+def main():
+    from vit_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+    args = parse_args()
+    dtype = jnp.bfloat16 if args.mixed else jnp.float32
+    config = ViTVQGANConfig(args.image_size, args.patch_size, args.codebook_size,
+                            args.latent_dim, args.transformer,
+                            dtype=dtype, attn_impl=args.attn_impl,
+                            quantizer=args.quantizer)
+
+    project_name = ('vit-vqgan' if args.dataset == 'imagenet'
+                    else 'vit-vqgan-synthetic')
+    run_name = (f"{args.patch_size}px_{args.image_size}px_{args.transformer}_"
+                f"{config.latent_tokens}_{args.codebook_size}")
+
+    train_loader = get_loader(args)
+    model = ViTVQGAN(config)
+    run_tokenizer_training(
+        args, model, config, train_loader,
+        project_name=project_name, run_name=run_name,
+        codebook_size=config.codebook_size,
+        pixel_loss="l1",  # reference uses abs().mean() here (train_vit_vqgan.py:152)
+    )
+
+
+if __name__ == '__main__':
+    main()

@@ -50,32 +50,63 @@ class LayerNorm(nn.Module):
 
 
 class Attention(nn.Module):
-    """Fused-QKV multi-head self-attention (reference transformer.py:16-29)."""
+    """Fused-QKV multi-head self-attention (reference transformer.py:16-29).
+
+    ``decode_pos`` switches to single-token KV-cache decoding: the key/value for the
+    current position are written into a ``cache`` variable collection and the query
+    attends over the cached prefix. This replaces the reference's O(n²) full
+    re-forward per generated token (train_videogpt.py:56-65) with O(n) incremental
+    decode while keeping greedy-argmax semantics.
+    """
 
     config: TransformerConfig
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True):
+    def __call__(self, x, deterministic: bool = True, decode_pos=None):
         cfg = self.config
         qkv = dense(3 * cfg.n_embd, cfg.n_embd, dtype=cfg.dtype,
                     param_dtype=cfg.param_dtype, name="qkv")(x)
         q, k, v = rearrange(qkv, "b n (three h d) -> three b h n d",
                             three=3, h=cfg.n_heads)
-        dropout_rate = 0.0 if deterministic else cfg.dropout
-        dropout_rng = (self.make_rng("dropout")
-                       if dropout_rate > 0.0 else None)
-        out = multi_head_attention(
-            q, k, v,
-            causal=cfg.causal,
-            dropout_rate=dropout_rate,
-            dropout_rng=dropout_rng,
-            impl=cfg.attn_impl,
-        )
+        if decode_pos is not None:
+            out = self._decode(q, k, v, decode_pos)
+        else:
+            dropout_rate = 0.0 if deterministic else cfg.dropout
+            dropout_rng = (self.make_rng("dropout")
+                           if dropout_rate > 0.0 else None)
+            out = multi_head_attention(
+                q, k, v,
+                causal=cfg.causal,
+                dropout_rate=dropout_rate,
+                dropout_rng=dropout_rng,
+                impl=cfg.attn_impl,
+            )
         out = rearrange(out, "b h n d -> b n (h d)")
         if cfg.attn_out_proj:
             out = dense(cfg.n_embd, cfg.n_embd, dtype=cfg.dtype,
                         param_dtype=cfg.param_dtype, name="out_proj")(out)
         return out
+
+    def _decode(self, q, k, v, pos):
+        """q,k,v: (B, H, 1, D); pos: int32 scalar position in [0, block_size)."""
+        cfg = self.config
+        b, h, _, d = q.shape
+        shape = (b, h, cfg.block_size, d)
+        ck = self.variable("cache", "k", jnp.zeros, shape, cfg.dtype)
+        cv = self.variable("cache", "v", jnp.zeros, shape, cfg.dtype)
+        ck.value = jax.lax.dynamic_update_slice(ck.value, k.astype(cfg.dtype),
+                                                (0, 0, pos, 0))
+        cv.value = jax.lax.dynamic_update_slice(cv.value, v.astype(cfg.dtype),
+                                                (0, 0, pos, 0))
+        s = jnp.einsum("bhqd,bhkd->bhqk", q, ck.value,
+                       preferred_element_type=jnp.float32)
+        s = s * (d ** -0.5)
+        mask = jnp.arange(cfg.block_size)[None, None, None, :] <= pos
+        s = jnp.where(mask, s, jnp.finfo(jnp.float32).min)
+        p = jax.nn.softmax(s, axis=-1)
+        out = jnp.einsum("bhqk,bhkd->bhqd", p.astype(cv.value.dtype), cv.value,
+                         preferred_element_type=jnp.float32)
+        return out.astype(q.dtype)
 
 
 class Mlp(nn.Module):
@@ -101,9 +132,9 @@ class TransformerLayer(nn.Module):
     config: TransformerConfig
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True):
+    def __call__(self, x, deterministic: bool = True, decode_pos=None):
         x = x + Attention(self.config, name="attn")(
-            LayerNorm(self.config, name="ln1")(x), deterministic)
+            LayerNorm(self.config, name="ln1")(x), deterministic, decode_pos)
         x = x + Mlp(self.config, name="mlp")(
             LayerNorm(self.config, name="ln2")(x), deterministic)
         return x
@@ -115,11 +146,12 @@ class Transformer(nn.Module):
     config: TransformerConfig
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True):
+    def __call__(self, x, deterministic: bool = True, decode_pos=None):
         x = x.astype(self.config.dtype)
         layer_cls = TransformerLayer
-        if self.config.remat:
+        if self.config.remat and decode_pos is None:
             layer_cls = nn.remat(TransformerLayer, static_argnums=(2,))
         for i in range(self.config.n_layers):
-            x = layer_cls(self.config, name=f"layer_{i}")(x, deterministic)
+            x = layer_cls(self.config, name=f"layer_{i}")(x, deterministic,
+                                                          decode_pos)
         return x

@@ -1,0 +1,148 @@
+"""VideoGPT — causal AR transformer over flattened frame tokens
+(reference train_videogpt.py:18-69).
+
+Forward: flatten (B, T, N) frame tokens, prepend SOS (index == codebook_size), token +
+position embeddings, causal Transformer, project to codebook logits, next-token CE.
+
+Generation: the reference re-runs the full transformer per generated token — O(n²)
+naive decode (train_videogpt.py:56-65). Here generation is a jitted ``lax.scan`` over
+a KV cache (O(n), static shapes) with identical greedy-argmax semantics.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from einops import rearrange
+from flax import linen as nn
+
+from vit_tpu.core.config import TransformerConfig, transformer_configs
+from vit_tpu.core.transformer import Transformer
+from vit_tpu.utils.init import dense, normal_embed_init
+
+
+@dataclasses.dataclass(eq=False)
+class VideoGPTConfig:
+    """Mirror of the reference VideoGPTConfig (train_videogpt.py:18-27)."""
+
+    frame_size: int          # tokens per frame
+    codebook_size: int
+    transformer: str
+    max_frames: int
+    dropout: float = 0.0
+
+    dtype: jnp.dtype = jnp.bfloat16
+    param_dtype: jnp.dtype = jnp.float32
+    attn_impl: Optional[str] = None
+    remat: bool = False
+
+    def __post_init__(self):
+        self.max_tokens = self.max_frames * self.frame_size
+        self.trans_config: TransformerConfig = transformer_configs[self.transformer](
+            block_size=self.max_tokens, dropout=self.dropout, causal=True,
+            dtype=self.dtype, param_dtype=self.param_dtype,
+            attn_impl=self.attn_impl, remat=self.remat)
+        self.n_embd = self.trans_config.n_embd
+
+
+class VideoGPT(nn.Module):
+    """Decoder-only AR model (reference train_videogpt.py:38-69)."""
+
+    config: VideoGPTConfig
+
+    def setup(self):
+        cfg = self.config
+        tc = cfg.trans_config
+        # +1 embedding row: SOS token is index codebook_size (train_videogpt.py:48)
+        self.tok_embed = self.param("tok_embed", normal_embed_init,
+                                    (cfg.codebook_size + 1, cfg.n_embd),
+                                    tc.param_dtype)
+        self.pos_embed = self.param("pos_embed", normal_embed_init,
+                                    (cfg.max_tokens, cfg.n_embd), tc.param_dtype)
+        self.transformer = Transformer(tc)
+        self.proj = dense(cfg.codebook_size, cfg.n_embd, dtype=jnp.float32,
+                          param_dtype=tc.param_dtype, name="proj")
+
+    def __call__(self, x, deterministic: bool = True) -> Tuple[jax.Array, jax.Array]:
+        """x: (B, T, N) int tokens -> (logits (B, T*N, C), scalar CE loss)."""
+        cfg = self.config
+        b, t, n = x.shape
+        y = rearrange(x, "b t n -> b (t n)")
+        sos = jnp.full((b, 1), cfg.codebook_size, jnp.int32)
+        inp = jnp.concatenate([sos, y[:, :-1]], axis=-1)
+        emb = (jnp.take(self.tok_embed, inp, axis=0)
+               + self.pos_embed[None, : t * n]).astype(cfg.trans_config.dtype)
+        h = self.transformer(emb, deterministic)
+        logits = self.proj(h.astype(jnp.float32))
+        loss = _cross_entropy(logits, y)
+        return logits, loss
+
+    def decode_step(self, token, pos) -> jax.Array:
+        """One KV-cache decode step. token: (B, 1) int32 (SOS or a code), pos: scalar
+        int32 position. Returns next-token logits (B, C)."""
+        cfg = self.config
+        emb = (jnp.take(self.tok_embed, token, axis=0)
+               + jax.lax.dynamic_slice_in_dim(self.pos_embed, pos, 1)[None]
+               ).astype(cfg.trans_config.dtype)
+        h = self.transformer(emb, True, pos)
+        return self.proj(h.astype(jnp.float32))[:, 0]
+
+
+def _cross_entropy(logits, targets):
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)
+    return jnp.mean(nll)
+
+
+def init_cache(model: VideoGPT, params, batch_size: int):
+    """Allocate the KV cache variable collection for a batch."""
+    dummy = jnp.zeros((batch_size, 1), jnp.int32)
+    variables = model.init(jax.random.PRNGKey(0), dummy, jnp.zeros((), jnp.int32),
+                           method=VideoGPT.decode_step)
+    return variables["cache"]
+
+
+@partial(jax.jit, static_argnums=(0, 3))
+def generate(model: VideoGPT, params, tokens: jax.Array, n: int) -> jax.Array:
+    """Greedy generation (reference train_videogpt.py:56-65 semantics, KV-cache O(n)).
+
+    tokens: (B, L) conditioning codes -> (B, L + n) codes.
+    """
+    cfg = model.config
+    b, cond_len = tokens.shape
+    total = cond_len + n
+    assert total <= cfg.max_tokens, (total, cfg.max_tokens)
+
+    cache = init_cache(model, params, b)
+    buf = jnp.concatenate(
+        [jnp.full((b, 1), cfg.codebook_size, jnp.int32),       # SOS
+         tokens.astype(jnp.int32),
+         jnp.zeros((b, n), jnp.int32)], axis=-1)               # (B, 1 + total)
+
+    def step(carry, pos):
+        buf, cache = carry
+        tok = jax.lax.dynamic_slice_in_dim(buf, pos, 1, axis=1)
+        logits, mutated = model.apply({"params": params, "cache": cache},
+                                      tok, pos, method=VideoGPT.decode_step,
+                                      mutable=["cache"])
+        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)    # (B,)
+        # only overwrite positions we are actually generating
+        write = jnp.where(pos + 1 > cond_len, nxt,
+                          jax.lax.dynamic_slice_in_dim(buf, pos + 1, 1, axis=1)[:, 0])
+        buf = jax.lax.dynamic_update_slice_in_dim(buf, write[:, None], pos + 1, axis=1)
+        return (buf, mutated["cache"]), None
+
+    (buf, _), _ = jax.lax.scan(step, (buf, cache), jnp.arange(total))
+    return buf[:, 1:]
+
+
+def generate_frames(model: VideoGPT, params, video_tokens: jax.Array,
+                    n: int) -> jax.Array:
+    """(B, T, N) conditioning frames -> (B, (T+n)*N) tokens
+    (reference train_videogpt.py:66-69)."""
+    tokens = rearrange(video_tokens, "b t n -> b (t n)")
+    return generate(model, params, tokens, n * model.config.frame_size)

@@ -23,7 +23,7 @@ from vit_tpu.core.transformer import Transformer
 from vit_tpu.utils.init import dense, normal_embed_init
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(eq=False)
 class ViTConfig:
     """Mirror of the reference ViTConfig (train_vit.py:16-28).
 

@@ -1,12 +1,9 @@
-"""TiTok 1-D image tokenizer — author's variant (reference train_titok.py:18-93).
+"""ViT-VQGAN — per-patch tokenizer (reference train_vit_vqgan.py:18-91).
 
-Encoder: ViT over the image with K latent slots prepended as extra tokens; keep the K
-latent outputs; project to latent_dim. Quantizer: minimal L2-norm VQ (fused Pallas
-lookup). Decoder: project codes back to n_embd, feed them to a ViT as a (K, 1) "image"
-with patch_size 1 whose extra tokens are n_patches learned mask slots; the mask-slot
-outputs become image patches via a 1×1 projection + depth-to-space.
-
-NHWC layout; the quantizer runs in fp32 inside the bf16 graph.
+Same skeleton as TiTok but one latent per patch: latent_tokens = n_patches, the
+encoder ViT has zero extra tokens and ALL its outputs are projected to latent_dim
+(train_vit_vqgan.py:38-43); the decoder ViT likewise has zero extra tokens and decodes
+every latent position back to a patch.
 """
 
 from __future__ import annotations
@@ -25,12 +22,11 @@ from vit_tpu.utils.init import dense
 
 
 @dataclasses.dataclass(eq=False)
-class TiTokConfig:
-    """Mirror of the reference TiTokConfig (train_titok.py:18-32)."""
+class ViTVQGANConfig:
+    """Mirror of the reference ViTVQGANConfig (train_vit_vqgan.py:18-32)."""
 
     image_size: int
     patch_size: int
-    latent_tokens: int
     codebook_size: int
     latent_dim: int
     transformer: str
@@ -39,49 +35,43 @@ class TiTokConfig:
     param_dtype: jnp.dtype = jnp.float32
     attn_impl: Optional[str] = None
     remat: bool = False
-    quantizer: str = "vq"          # "vq" | "fsq" (the reference's intended-but-unwired
-                                   # FSQ variant, SURVEY.md §2d quirk 8)
+    quantizer: str = "vq"
     fsq_levels: Optional[Tuple[int, ...]] = None
 
     def __post_init__(self):
         self.grid_size = self.image_size // self.patch_size
         self.n_patches = self.grid_size ** 2
+        self.latent_tokens = self.n_patches
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype,
                   attn_impl=self.attn_impl, remat=self.remat)
-        # encoder ViT: image + K latent slots (reference train_titok.py:29)
         self.enc_vit_config = ViTConfig(self.image_size, 3, self.patch_size,
-                                        self.transformer, self.latent_tokens, 0.0, **kw)
+                                        self.transformer, 0, 0.0, **kw)
         self.n_embd = self.enc_vit_config.trans_config.n_embd
-        # decoder ViT: latents as a (K, 1) image, patch 1, n_patches mask slots
-        # (reference train_titok.py:31-32; n_patches overridden to K). The reference
-        # leaves the decoder block_size at K²+extra — an unused-field artifact of its
-        # mask buffer; here block_size reflects the true sequence length.
         self.dec_vit_config = ViTConfig(self.latent_tokens, self.n_embd, 1,
-                                        self.transformer, self.n_patches, 0.0, **kw)
+                                        self.transformer, 0, 0.0, **kw)
         self.dec_vit_config.n_patches = self.latent_tokens
         self.dec_vit_config.trans_config = self.dec_vit_config.trans_config.replace(
-            block_size=self.latent_tokens + self.n_patches)
+            block_size=self.latent_tokens)
 
 
-class TiTokEncoder(nn.Module):
-    """Image → K latent vectors (reference train_titok.py:34-43)."""
+class ViTVQGANEncoder(nn.Module):
+    """Image → one latent per patch (reference train_vit_vqgan.py:34-43)."""
 
-    config: TiTokConfig
+    config: ViTVQGANConfig
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         cfg = self.config
         out = ViT(cfg.enc_vit_config, name="vit")(x, deterministic)
-        latent = out[:, :cfg.latent_tokens]
         return dense(cfg.latent_dim, cfg.n_embd, dtype=jnp.float32,
                      param_dtype=cfg.param_dtype, name="proj")(
-                         latent.astype(jnp.float32))
+                         out.astype(jnp.float32))
 
 
-class TiTokDecoder(nn.Module):
-    """K quantized latents → image (reference train_titok.py:61-77)."""
+class ViTVQGANDecoder(nn.Module):
+    """Per-patch latents → image (reference train_vit_vqgan.py:61-77)."""
 
-    config: TiTokConfig
+    config: ViTVQGANConfig
 
     @nn.compact
     def __call__(self, z, deterministic: bool = True):
@@ -89,45 +79,42 @@ class TiTokDecoder(nn.Module):
         p = cfg.patch_size
         z = dense(cfg.n_embd, cfg.latent_dim, dtype=cfg.dtype,
                   param_dtype=cfg.param_dtype, name="quant_proj")(z)
-        z = rearrange(z, "b k c -> b k 1 c")      # latents as a (K, 1) NHWC image
+        z = rearrange(z, "b k c -> b k 1 c")
         out = ViT(cfg.dec_vit_config, name="vit")(z, deterministic)
-        out = out[:, :cfg.n_patches]               # the mask-slot outputs
+        out = out[:, :cfg.n_patches]
         out = rearrange(out, "b (h w) c -> b h w c", h=cfg.grid_size, w=cfg.grid_size)
-        # 1×1 conv ≡ Dense over channels (reference embd_proj, train_titok.py:64)
         img = dense(3 * p * p, cfg.n_embd, dtype=jnp.float32,
                     param_dtype=cfg.param_dtype, name="embd_proj")(
                         out.astype(jnp.float32))
         return rearrange(img, "b h w (p1 p2 c) -> b (h p1) (w p2) c", p1=p, p2=p)
 
 
-class TiTok(nn.Module):
-    """Full tokenizer (reference train_titok.py:79-93)."""
+class ViTVQGAN(nn.Module):
+    """Full model (reference train_vit_vqgan.py:79-91)."""
 
-    config: TiTokConfig
+    config: ViTVQGANConfig
 
     def setup(self):
         cfg = self.config
-        self.enc = TiTokEncoder(cfg)
+        self.encoder = ViTVQGANEncoder(cfg)
         if cfg.quantizer == "fsq":
             levels = cfg.fsq_levels or (8,) * cfg.latent_dim
             self.quant = FSQ(levels=levels)
         else:
             self.quant = Quantizer(cfg.codebook_size, cfg.latent_dim)
-        self.dec = TiTokDecoder(cfg)
+        self.decoder = ViTVQGANDecoder(cfg)
 
     def __call__(self, x, deterministic: bool = True):
-        latent = self.enc(x, deterministic)
+        latent = self.encoder(x, deterministic)
         quantized, indices, quantize_loss = self.quant(latent)
-        recon = self.dec(quantized, deterministic)
+        recon = self.decoder(quantized, deterministic)
         return recon, indices, quantize_loss
 
     def encode(self, x) -> jax.Array:
-        """Image → code indices (reference train_titok.py:86)."""
-        return self.quant(self.enc(x))[1]
+        return self.quant(self.encoder(x))[1]
 
     def decode(self, z_quant) -> jax.Array:
-        return self.dec(z_quant)
+        return self.decoder(z_quant)
 
     def decode_indices(self, indices) -> jax.Array:
-        """Code indices → image (reference train_titok.py:88)."""
-        return self.dec(self.quant.lookup(indices))
+        return self.decoder(self.quant.lookup(indices))

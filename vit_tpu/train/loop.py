@@ -1,0 +1,107 @@
+"""Shared tokenizer training loop.
+
+The reference repeats this loop in four scripts (train_titok.py:143-179,
+train_vit_vqgan.py:140-176, train_enhancing_vitvqgan.py:322-357, and the TATiTok
+variant); here it exists once. Loop shape: per-step jitted train step with on-device
+codebook-usage bitmap; every ``log_every`` steps flush metrics + best-recon checkpoint;
+every ``image_every`` steps log input/recon grids and reset the usage bitmap.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from vit_tpu.train.checkpoint import Checkpointer
+from vit_tpu.train.optim import make_optimizer
+from vit_tpu.train.state import TrainState, params_str
+from vit_tpu.train.step import make_tokenizer_train_step
+from vit_tpu.utils.logging import MetricsLogger
+
+
+def build_perceptual(args, dtype):
+    spec = getattr(args, "perceptual_weights", None)
+    if spec == "random":
+        from vit_tpu.losses.perceptual import PerceptualLoss
+
+        return PerceptualLoss(PerceptualLoss.init_params(), dtype=dtype)
+    if spec:
+        from vit_tpu.losses.perceptual import PerceptualLoss
+
+        return PerceptualLoss(PerceptualLoss.load_params(spec), dtype=dtype)
+    return None
+
+
+def run_tokenizer_training(args, model, model_config, train_loader, *,
+                           project_name: str, run_name: str,
+                           codebook_size: int, pixel_loss: str,
+                           perceptual_weight: Optional[float] = None,
+                           make_images: Optional[Callable] = None):
+    """Generic tokenizer loop. ``args`` must carry the reference CLI fields
+    (lr, warmup_steps, train_steps, min_lr, weight_decay, epochs, ...)."""
+    dtype = jnp.bfloat16 if args.mixed else jnp.float32
+    logger = MetricsLogger(project_name, run_name, config=vars(args),
+                           use_wandb=not args.no_wandb)
+
+    rng = jax.random.PRNGKey(args.seed)
+    init_images = jnp.zeros((1, args.image_size, args.image_size, 3))
+    params = jax.jit(model.init)(rng, init_images)["params"]
+
+    perceptual = build_perceptual(args, dtype)
+    tx = make_optimizer(args.lr, args.warmup_steps, args.train_steps, args.min_lr,
+                        args.weight_decay, clip_norm=1.0)
+    state = TrainState.create(params, tx)
+
+    ckpt = Checkpointer(args.ckpt_dir, mode="min")
+    if getattr(args, "resume", False) and ckpt.can_restore():
+        state = ckpt.restore(state)
+        print(f"RESUMED at step {int(state.step)}")
+
+    train_step = jax.jit(
+        make_tokenizer_train_step(
+            model, perceptual_loss_fn=perceptual,
+            perceptual_weight=(perceptual_weight if perceptual_weight is not None
+                               else getattr(args, "perceptual_weight", 1.0)),
+            pixel_loss=pixel_loss),
+        donate_argnums=(0, 2),
+    )
+
+    print(f"STATS: enc_params={params_str(state.params)}")
+
+    best_recon = float("inf")
+    usage = jnp.zeros((codebook_size,), jnp.float32)
+    for epoch in range(args.epochs):
+        st = time.time()
+        for i, (images, _) in enumerate(train_loader):
+            load_time = time.time() - st
+            images = jnp.asarray(images)
+            state, usage, metrics, recon = train_step(state, images, usage, rng)
+            if i % args.log_every == 0:
+                jax.block_until_ready(state.params)
+                step_time = time.time() - st - load_time
+                host = {k: float(jax.device_get(v)) for k, v in metrics.items()}
+                host.update({"train/epoch": epoch,
+                             "benchmark/load_time": load_time,
+                             "benchmark/step_time": step_time})
+                logger.log(host, step=int(state.step))
+                print(f"e={epoch} i={i} loss={host['train/loss']:.3f} "
+                      f"recon={host['train/recon_loss']:.3f} "
+                      f"quant={host['train/quant_loss']:.3f} "
+                      f"usage={host['train/codebook_usage']:.3f} "
+                      f"step_time={step_time:.3f}")
+                if host["train/recon_loss"] < best_recon:
+                    best_recon = host["train/recon_loss"]
+                    ckpt.save_if_best(state, host["train/recon_loss"],
+                                      config=model_config)
+            if i % args.image_every == 0:
+                logger.log_images({"images": jax.device_get(images[:4]),
+                                   "reconstructions": jax.device_get(recon[:4])},
+                                  step=int(state.step))
+                usage = usage * 0.0
+            st = time.time()
+
+    logger.close()
+    return state
