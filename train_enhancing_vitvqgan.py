@@ -1,0 +1,91 @@
+""""Enhancing" ViT-VQGAN training (TPU-native).
+
+CLI-surface parity with the reference train_enhancing_vitvqgan.py:275-290 (same
+flags/defaults: warmup 10000, train_steps 500k, transformer B hard-coded to ViT-Base
+dims), plus the shared rebuild-only flags. Loss shape matches the reference loop
+(:328-333): true L1 pixel loss + perceptual + quantize, log cadence 500.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import jax.numpy as jnp
+
+from vit_tpu.data.synthetic import SyntheticImageLoader
+from vit_tpu.models.enhancing_vqgan import EnhancingViTVQGAN, EnhancingVQGANConfig
+from vit_tpu.train.loop import run_tokenizer_training
+
+
+def parse_args():
+    parser = argparse.ArgumentParser()
+    # --- reference flag surface (train_enhancing_vitvqgan.py:275-290) ---
+    parser.add_argument('--image_size', type=int, default=128)
+    parser.add_argument('--patch_size', type=int, default=16)
+    parser.add_argument('--latent_tokens', type=int, default=256)  # accepted, unused
+    parser.add_argument('--codebook_size', type=int, default=2048)
+    parser.add_argument('--latent_dim', type=int, default=12)
+    parser.add_argument('--transformer', type=str, default='B')
+    parser.add_argument('--bs', type=int, default=32)
+    parser.add_argument('--mixed', type=bool, default=True)
+    parser.add_argument('--lr', type=float, default=1e-4)
+    parser.add_argument('--weight_decay', type=float, default=1e-4)
+    parser.add_argument('--warmup_steps', type=int, default=10000)
+    parser.add_argument('--train_steps', type=int, default=500_000)
+    parser.add_argument('--dataset', type=str, default='imagenet',
+                        choices=['imagenet', 'synthetic'])
+    parser.add_argument('--epochs', type=int, default=100000)
+    # --- rebuild-only flags ---
+    parser.add_argument('--data_dir', type=str, default=None)
+    parser.add_argument('--steps_per_epoch', type=int, default=100)
+    parser.add_argument('--perceptual_weights', type=str, default=None)
+    parser.add_argument('--perceptual_weight', type=float, default=1.0)
+    parser.add_argument('--attn_impl', type=str, default=None,
+                        choices=[None, 'pallas', 'xla'])
+    parser.add_argument('--ckpt_dir', type=str, default='titok_models/enhancing')
+    parser.add_argument('--resume', action='store_true')
+    parser.add_argument('--log_every', type=int, default=500)
+    parser.add_argument('--image_every', type=int, default=5000)
+    parser.add_argument('--seed', type=int, default=0)
+    parser.add_argument('--no_wandb', action='store_true')
+    args = parser.parse_args()
+    args.min_lr = args.lr / 10.0
+    return args
+
+
+def main():
+    from vit_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+    args = parse_args()
+    dtype = jnp.bfloat16 if args.mixed else jnp.float32
+    config = EnhancingVQGANConfig(args.image_size, args.patch_size,
+                                  args.codebook_size, args.latent_dim,
+                                  args.transformer, dtype=dtype,
+                                  attn_impl=args.attn_impl)
+
+    project_name = ('vit-vqgan' if args.dataset == 'imagenet'
+                    else 'enhancing-vqgan-synthetic')
+    run_name = (f"{args.patch_size}px_{args.image_size}px_{args.transformer}_"
+                f"{args.latent_tokens}_{args.codebook_size}")
+
+    if args.dataset == 'synthetic':
+        train_loader = SyntheticImageLoader(args.image_size, args.bs,
+                                            steps_per_epoch=args.steps_per_epoch,
+                                            seed=args.seed)
+    else:
+        from vit_tpu.data.imagenet import get_imagenet_loaders
+
+        train_loader = get_imagenet_loaders(args.image_size, args.bs,
+                                            data_dir=args.data_dir)[0]
+
+    model = EnhancingViTVQGAN(config)
+    run_tokenizer_training(
+        args, model, config, train_loader,
+        project_name=project_name, run_name=run_name,
+        codebook_size=config.codebook_size,
+        pixel_loss="l1",
+    )
+
+
+if __name__ == '__main__':
+    main()

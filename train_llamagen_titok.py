@@ -1,0 +1,219 @@
+"""LlamaGen-TiTok training: TiTok compression of frozen VQGAN code sequences.
+
+CLI-surface parity with the reference train_llamagen_titok.py:119-136 (same
+flags/defaults). The reference's frozen LlamaGen VQ model comes from an external repo
++ checkpoints (train_llamagen_titok.py:140-155); here the frozen code source is
+  --vq_ckpt <dir>   a vit_tpu ViT-VQGAN orbax checkpoint (encodes images to codes), or
+  --dataset synthetic with no --vq_ckpt: random code sequences (smoke path).
+
+Deliberate fix (SURVEY.md §2d bug 3): the reference's micro-step gradient accumulation
+is broken (zero_grad every micro-step + post-backward loss scaling); here accumulation
+is optax.MultiSteps — true averaged-gradient accumulation over --micro_steps.
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from vit_tpu.models.llamagen_titok import LlamaGenTiTok, LlamaGenTiTokConfig
+from vit_tpu.train.checkpoint import Checkpointer
+from vit_tpu.train.optim import make_optimizer
+from vit_tpu.train.state import TrainState, params_str
+from vit_tpu.utils.logging import MetricsLogger
+
+
+def parse_args():
+    parser = argparse.ArgumentParser()
+    # --- reference flag surface (train_llamagen_titok.py:119-136) ---
+    parser.add_argument('--vq_codebook_size', type=int, default=16384)
+    parser.add_argument('--vq_latent_tokens', type=int, default=256)
+    parser.add_argument('--latent_tokens', type=int, default=256)
+    parser.add_argument('--codebook_size', type=int, default=16384)
+    parser.add_argument('--latent_dim', type=int, default=12)
+    parser.add_argument('--transformer', type=str, default='S')
+    parser.add_argument('--bs', type=int, default=32)
+    parser.add_argument('--micro_steps', type=int, default=1)
+    parser.add_argument('--mixed', type=bool, default=True)
+    parser.add_argument('--lr', type=float, default=1e-4)
+    parser.add_argument('--perceptual_weight', type=float, default=1.0)  # accepted;
+    # the reference accepts it but this workload has no perceptual term (CE loss)
+    parser.add_argument('--weight_decay', type=float, default=1e-4)
+    parser.add_argument('--warmup_steps', type=int, default=5000)
+    parser.add_argument('--train_steps', type=int, default=1_000_000)
+    parser.add_argument('--dataset', type=str, default='imagenet',
+                        choices=['imagenet', 'synthetic'])
+    parser.add_argument('--epochs', type=int, default=100000)
+    # --- rebuild-only flags ---
+    parser.add_argument('--data_dir', type=str, default=None)
+    parser.add_argument('--vq_ckpt', type=str, default=None,
+                        help='vit_tpu ViT-VQGAN orbax ckpt dir as the frozen code '
+                             'source; omit with --dataset synthetic for random codes')
+    parser.add_argument('--steps_per_epoch', type=int, default=100)
+    parser.add_argument('--attn_impl', type=str, default=None,
+                        choices=[None, 'pallas', 'xla'])
+    parser.add_argument('--ckpt_dir', type=str, default='titok_models/llamagen')
+    parser.add_argument('--resume', action='store_true')
+    parser.add_argument('--log_every', type=int, default=100)
+    parser.add_argument('--image_every', type=int, default=5000)
+    parser.add_argument('--seed', type=int, default=0)
+    parser.add_argument('--no_wandb', action='store_true')
+    args = parser.parse_args()
+    args.min_lr = args.lr / 10.0
+    return args
+
+
+def make_code_loader(args):
+    """Yields (codes (B, vq_latent_tokens) int32, decode_fn or None)."""
+    if args.vq_ckpt:
+        import json
+        from pathlib import Path
+
+        from vit_tpu.models.vit_vqgan import ViTVQGAN, ViTVQGANConfig
+        from vit_tpu.utils.config import dataclass_from_dict
+
+        ckpt_dir = Path(args.vq_ckpt)
+        cfg = dataclass_from_dict(
+            ViTVQGANConfig, json.loads((ckpt_dir / "best_config.json").read_text()))
+        cfg.__post_init__()
+        vq_model = ViTVQGAN(cfg)
+        dummy = jnp.zeros((1, cfg.image_size, cfg.image_size, 3))
+        vq_params = jax.jit(vq_model.init)(jax.random.PRNGKey(0), dummy)["params"]
+        tx = make_optimizer(1e-4, 1, 10, 1e-5, 0.0)
+        state = Checkpointer(str(ckpt_dir)).restore(
+            TrainState.create(vq_params, tx), tag="best")
+        vq_params = state.params
+        encode = jax.jit(lambda imgs: vq_model.apply(
+            {"params": vq_params}, imgs, method="encode"))
+        decode = jax.jit(lambda idx: vq_model.apply(
+            {"params": vq_params}, idx, method="decode_indices"))
+
+        if args.dataset == 'synthetic':
+            from vit_tpu.data.synthetic import SyntheticImageLoader
+
+            img_loader = SyntheticImageLoader(cfg.image_size, args.bs,
+                                              steps_per_epoch=args.steps_per_epoch,
+                                              seed=args.seed)
+        else:
+            from vit_tpu.data.imagenet import get_imagenet_loaders
+
+            img_loader = get_imagenet_loaders(256, args.bs,
+                                              data_dir=args.data_dir)[0]
+
+        def gen():
+            for images, _ in img_loader:
+                yield encode(jnp.asarray(images)), None
+
+        return gen, decode
+
+    assert args.dataset == 'synthetic', "--vq_ckpt required for real datasets"
+    rng = np.random.default_rng(args.seed)
+
+    def gen():
+        for _ in range(args.steps_per_epoch):
+            yield jnp.asarray(rng.integers(
+                0, args.vq_codebook_size,
+                (args.bs // args.micro_steps, args.vq_latent_tokens),
+                dtype=np.int32)), None
+
+    return gen, None
+
+
+def main():
+    from vit_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+    args = parse_args()
+    dtype = jnp.bfloat16 if args.mixed else jnp.float32
+    config = LlamaGenTiTokConfig(args.vq_codebook_size, args.vq_latent_tokens,
+                                 args.latent_tokens, args.codebook_size,
+                                 args.latent_dim, args.transformer,
+                                 dtype=dtype, attn_impl=args.attn_impl)
+
+    project_name = ('titok-CE-imagenet' if args.dataset == 'imagenet'
+                    else 'titok-CE-synthetic')
+    run_name = (f"{args.vq_codebook_size}_{args.vq_latent_tokens}vq_"
+                f"{args.transformer}_{args.latent_tokens}_{args.codebook_size}ce_vq")
+    logger = MetricsLogger(project_name, run_name, config=vars(args),
+                           use_wandb=not args.no_wandb)
+
+    loader_fn, decode = make_code_loader(args)
+
+    model = LlamaGenTiTok(config)
+    rng = jax.random.PRNGKey(args.seed)
+    dummy = jnp.zeros((1, args.vq_latent_tokens), jnp.int32)
+    params = jax.jit(model.init)(rng, dummy)["params"]
+    tx = make_optimizer(args.lr, args.warmup_steps, args.train_steps, args.min_lr,
+                        args.weight_decay, clip_norm=1.0)
+    if args.micro_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=args.micro_steps)
+    state = TrainState.create(params, tx)
+
+    ckpt = Checkpointer(args.ckpt_dir, mode="min")
+    if args.resume and ckpt.can_restore():
+        state = ckpt.restore(state)
+        print(f"RESUMED at step {int(state.step)}")
+
+    @jax.jit
+    def train_step(state, codes, usage):
+        def loss_fn(params):
+            logits, indices, quantize_loss = model.apply({"params": params}, codes,
+                                                         False)
+            recon_loss = optax.softmax_cross_entropy_with_integer_labels(
+                logits.reshape(-1, config.vq_codebook_size),
+                codes.reshape(-1)).mean()
+            return recon_loss + quantize_loss, (indices, recon_loss, quantize_loss)
+
+        (loss, (indices, recon_loss, quantize_loss)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        state = state.apply_gradients(grads=grads)
+        usage = usage.at[indices.reshape(-1)].set(1.0)
+        return state, usage, {"train/loss": loss, "train/recon_loss": recon_loss,
+                              "train/quant_loss": quantize_loss,
+                              "train/codebook_usage": usage.mean()}, indices
+
+    print(f"STATS: enc_params={params_str(state.params)}")
+
+    best_recon = float('inf')
+    usage = jnp.zeros((config.codebook_size,), jnp.float32)
+    step = 0
+    for epoch in range(args.epochs):
+        st = time.time()
+        for codes, _ in loader_fn():
+            load_time = time.time() - st
+            state, usage, metrics, indices = train_step(state, codes, usage)
+            if step % args.log_every == 0:
+                jax.block_until_ready(state.params)
+                step_time = time.time() - st - load_time
+                host = {k: float(jax.device_get(v)) for k, v in metrics.items()}
+                host.update({"train/epoch": epoch,
+                             "benchmark/load_time": load_time,
+                             "benchmark/step_time": step_time})
+                logger.log(host, step=int(jax.device_get(state.step)))
+                print(f"e={epoch} s={step} loss={host['train/loss']:.3f} "
+                      f"recon={host['train/recon_loss']:.3f} "
+                      f"usage={host['train/codebook_usage']:.3f} "
+                      f"step_time={step_time:.3f}")
+                if host["train/recon_loss"] < best_recon:
+                    best_recon = host["train/recon_loss"]
+                    ckpt.save_if_best(state, host["train/recon_loss"], config=config)
+            if step % args.image_every == 0 and decode is not None:
+                logits, _, _ = model.apply({"params": state.params}, codes)
+                pred_codes = jnp.argmax(logits, axis=-1)
+                logger.log_images(
+                    {"reconstructions": jax.device_get(decode(codes[:4])),
+                     "ce_reconstructions": jax.device_get(decode(pred_codes[:4]))},
+                    step=int(jax.device_get(state.step)))
+                usage = usage * 0.0
+            step += 1
+            st = time.time()
+
+    logger.close()
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,214 @@
+"""TATiTok training (Bytedance-parity TiTok) — TPU-native.
+
+CLI-surface parity with the reference train_tatitok.py:115-131 (same flags/defaults:
+transformer "small", codebook 16384, warmup 10000, perceptual_weight 1.1), plus the
+shared rebuild-only flags and --clustering_vq (the reference's dead multi-GPU codebook
+reseeding, blocks.py:454-477, working here — see vit_tpu/quantize/bytedance_vq.py).
+
+Optimizer: AdamW with the reference's weight-decay split (make_optim,
+train_tatitok.py:95-111) via an optax mask; true micro-step gradient accumulation via
+optax.MultiSteps; clip BEFORE step (the reference clips scaled grads pre-step,
+train_tatitok.py:198-199 — closest intended semantics).
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from vit_tpu.data.synthetic import SyntheticImageLoader
+from vit_tpu.models.tatitok import TATiTok, TATiTokConfig
+from vit_tpu.train.checkpoint import Checkpointer
+from vit_tpu.train.loop import build_perceptual
+from vit_tpu.train.optim import make_optimizer, wd_exclude_mask
+from vit_tpu.train.state import TrainState, params_str
+from vit_tpu.utils.logging import MetricsLogger
+
+
+def parse_args():
+    parser = argparse.ArgumentParser()
+    # --- reference flag surface (train_tatitok.py:115-131) ---
+    parser.add_argument('--patch_size', type=int, default=16)
+    parser.add_argument('--latent_tokens', type=int, default=256)
+    parser.add_argument('--codebook_size', type=int, default=16384)
+    parser.add_argument('--latent_dim', type=int, default=12)
+    parser.add_argument('--transformer', type=str, default='small',
+                        choices=['small', 'base', 'large'])
+    parser.add_argument('--bs', type=int, default=32)
+    parser.add_argument('--micro_steps', type=int, default=1)
+    parser.add_argument('--mixed', type=bool, default=True)
+    parser.add_argument('--lr', type=float, default=1e-4)
+    parser.add_argument('--perceptual_weight', type=float, default=1.1)
+    parser.add_argument('--weight_decay', type=float, default=1e-4)
+    parser.add_argument('--warmup_steps', type=int, default=10000)
+    parser.add_argument('--train_steps', type=int, default=1_000_000)
+    parser.add_argument('--dataset', type=str, default='imagenet',
+                        choices=['imagenet', 'dmlab', 'minecraft', 'synthetic'])
+    parser.add_argument('--epochs', type=int, default=100000)
+    # --- rebuild-only flags ---
+    parser.add_argument('--data_dir', type=str, default=None)
+    parser.add_argument('--image_size', type=int, default=None,
+                        help='set by --dataset as in the reference; override for '
+                             'synthetic')
+    parser.add_argument('--steps_per_epoch', type=int, default=100)
+    parser.add_argument('--perceptual_weights', type=str, default=None)
+    parser.add_argument('--use_l2_norm', type=bool, default=True)
+    parser.add_argument('--clustering_vq', action='store_true')
+    parser.add_argument('--attn_impl', type=str, default=None,
+                        choices=[None, 'pallas', 'xla'])
+    parser.add_argument('--ckpt_dir', type=str, default='titok_models/tatitok')
+    parser.add_argument('--resume', action='store_true')
+    parser.add_argument('--log_every', type=int, default=100)
+    parser.add_argument('--image_every', type=int, default=5000)
+    parser.add_argument('--seed', type=int, default=0)
+    parser.add_argument('--no_wandb', action='store_true')
+    args = parser.parse_args()
+    args.min_lr = args.lr / 10.0
+    # dataset → image size (reference train_tatitok.py:134-146)
+    sizes = {'imagenet': 256, 'dmlab': 64, 'minecraft': 128}
+    if args.image_size is None:
+        args.image_size = sizes.get(args.dataset, 64)
+    return args
+
+
+def get_loader(args):
+    if args.dataset == 'synthetic':
+        return SyntheticImageLoader(args.image_size, args.bs // args.micro_steps,
+                                    steps_per_epoch=args.steps_per_epoch,
+                                    seed=args.seed)
+    if args.dataset == 'imagenet':
+        from vit_tpu.data.imagenet import get_imagenet_loaders
+
+        return get_imagenet_loaders(args.image_size, args.bs // args.micro_steps,
+                                    data_dir=args.data_dir)[0]
+    from vit_tpu.data.video import (get_dmlab_image_loaders,
+                                    get_minecraft_image_loaders)
+
+    fn = (get_dmlab_image_loaders if args.dataset == 'dmlab'
+          else get_minecraft_image_loaders)
+    return fn(args.bs // args.micro_steps, dataset_path=args.data_dir)[0]
+
+
+def main():
+    from vit_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+    args = parse_args()
+    dtype = jnp.bfloat16 if args.mixed else jnp.float32
+    config = TATiTokConfig(args.image_size, args.patch_size, args.latent_tokens,
+                           args.codebook_size, args.latent_dim, args.transformer,
+                           use_l2_norm=args.use_l2_norm,
+                           clustering_vq=args.clustering_vq,
+                           dtype=dtype, attn_impl=args.attn_impl)
+
+    project_name = f"titok-single-{args.dataset}"
+    run_name = f"{args.transformer}_{args.latent_tokens}_{args.codebook_size}"
+    logger = MetricsLogger(project_name, run_name, config=vars(args),
+                           use_wandb=not args.no_wandb)
+
+    train_loader = get_loader(args)
+
+    model = TATiTok(config)
+    rng = jax.random.PRNGKey(args.seed)
+    init_x = jnp.zeros((1, args.image_size, args.image_size, 3))
+    variables = jax.jit(lambda: model.init(rng, init_x, None, True))()
+    params = variables["params"]
+    vq_stats = variables.get("vq_stats", {})
+
+    perceptual = build_perceptual(args, dtype)
+
+    # weight-decay split (reference make_optim, train_tatitok.py:95-111)
+    tx = make_optimizer(args.lr, args.warmup_steps, args.train_steps, args.min_lr,
+                        args.weight_decay, clip_norm=1.0,
+                        weight_decay_mask=wd_exclude_mask(params))
+    if args.micro_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=args.micro_steps)
+    state = TrainState.create(params, tx)
+
+    ckpt = Checkpointer(args.ckpt_dir, mode="min")
+    if args.resume and ckpt.can_restore():
+        state = ckpt.restore(state)
+        print(f"RESUMED at step {int(state.step)}")
+
+    clustering = args.clustering_vq
+
+    @jax.jit
+    def train_step(state, vq_stats, images, usage):
+        def loss_fn(params):
+            (recon, result), new_vars = model.apply(
+                {"params": params, "vq_stats": vq_stats}, images, None, True,
+                mutable=["vq_stats"])
+            recon32 = recon.astype(jnp.float32)
+            images32 = images.astype(jnp.float32)
+            l1_loss = jnp.mean((recon32 - images32) ** 2)  # squared despite the name
+            # (reference train_tatitok.py:188)
+            if perceptual is not None:
+                perc = args.perceptual_weight * perceptual(recon32, images32)
+            else:
+                perc = jnp.zeros((), jnp.float32)
+            recon_loss = l1_loss + perc
+            loss = recon_loss + result["quantizer_loss"]
+            metrics = {"train/loss": loss, "train/recon_loss": recon_loss,
+                       "train/quant_loss": result["quantizer_loss"],
+                       "train/perceptual_loss": perc, "train/l1_loss": l1_loss}
+            return loss, (result, new_vars.get("vq_stats", vq_stats), recon, metrics)
+
+        (_, (result, vq_stats_new, recon, metrics)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        if clustering:
+            # install the reseeded codebook before the gradient update — the torch
+            # ordering (in-forward .data mutation, then optimizer step)
+            params = dict(state.params)
+            quant = dict(params["quantize"])
+            quant["embedding"] = result["new_embedding"]
+            params["quantize"] = quant
+            state = state.replace(params=params)
+        state = state.apply_gradients(grads=grads)
+        usage = usage.at[result["min_encoding_indices"].reshape(-1)].set(1.0)
+        metrics["train/codebook_usage"] = usage.mean()
+        return state, vq_stats_new, usage, metrics, recon
+
+    print(f"STATS: enc_params={params_str(state.params)}")
+
+    best_recon = float("inf")
+    usage = jnp.zeros((config.codebook_size,), jnp.float32)
+    step = 0
+    for epoch in range(args.epochs):
+        st = time.time()
+        for images, _ in train_loader:
+            load_time = time.time() - st
+            images = jnp.asarray(images)
+            state, vq_stats, usage, metrics, recon = train_step(
+                state, vq_stats, images, usage)
+            if step % args.log_every == 0:
+                jax.block_until_ready(state.params)
+                step_time = time.time() - st - load_time
+                host = {k: float(jax.device_get(v)) for k, v in metrics.items()}
+                host.update({"train/epoch": epoch,
+                             "benchmark/load_time": load_time,
+                             "benchmark/step_time": step_time})
+                logger.log(host, step=int(jax.device_get(state.step)))
+                print(f"e={epoch} s={step} loss={host['train/loss']:.3f} "
+                      f"recon={host['train/recon_loss']:.3f} "
+                      f"quant={host['train/quant_loss']:.3f} "
+                      f"usage={host['train/codebook_usage']:.3f} "
+                      f"step_time={step_time:.3f}")
+                if host["train/recon_loss"] < best_recon:
+                    best_recon = host["train/recon_loss"]
+                    ckpt.save_if_best(state, host["train/recon_loss"], config=config)
+            if step % args.image_every == 0:
+                logger.log_images({"images": jax.device_get(images[:4]),
+                                   "reconstructions": jax.device_get(recon[:4])},
+                                  step=int(jax.device_get(state.step)))
+                usage = usage * 0.0
+            step += 1
+            st = time.time()
+
+    logger.close()
+
+
+if __name__ == '__main__':
+    main()
