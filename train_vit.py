@@ -50,7 +50,10 @@ def parse_args():
     parser.add_argument('--epochs', type=int, default=10**9)
     # --- rebuild-only flags ---
     parser.add_argument('--dataset', type=str, default='imagenet',
-                        choices=['imagenet', 'synthetic'])
+                        choices=['imagenet', 'synthetic', 'wds'])
+    parser.add_argument('--wds_shards', type=str, default=None,
+                        help='glob of webdataset tar shards (jpg+cls), e.g. '
+                             '"shards/train-*.tar" (BASELINE configs[0] path)')
     parser.add_argument('--num_classes', type=int, default=1000)
     parser.add_argument('--steps_per_epoch', type=int, default=50,
                         help='synthetic dataset epoch length')
@@ -79,6 +82,19 @@ def get_loaders(args):
                                      steps_per_epoch=max(1, args.steps_per_epoch // 10),
                                      seed=args.seed + 1)
         return train, valid
+    if args.dataset == 'wds':
+        import glob
+
+        from vit_tpu.data.loader import DataLoader
+        from vit_tpu.data.wds import WdsImageClassification
+
+        shards = sorted(glob.glob(args.wds_shards))
+        if not shards:
+            raise FileNotFoundError(f"no shards match {args.wds_shards}")
+        train_set = WdsImageClassification(shards, args.image_size, train=True)
+        valid_set = WdsImageClassification(shards, args.image_size, train=False)
+        return (DataLoader(train_set, args.bs, shuffle=True, drop_last=True),
+                DataLoader(valid_set, 2 * args.bs, shuffle=False, drop_last=False))
     from vit_tpu.data.imagenet import get_imagenet_loaders
 
     return get_imagenet_loaders(args.image_size, args.bs, data_dir=args.data_dir)

@@ -1,0 +1,100 @@
+"""Threaded prefetching data loader.
+
+TPU-host replacement for torch DataLoader worker processes (reference datasets.py:26,
+119, 125, 130). Decode work (PIL/cv2/zlib) releases the GIL, so a thread pool saturates
+host cores without process-spawn overhead, and a bounded prefetch queue overlaps host
+decode with device steps (the reference's prefetch_factor=2 behavior).
+
+Multi-host: pass shard_id/num_shards to give each host a disjoint slice of the dataset
+(the per-host sharding a jax.distributed deployment needs; the reference is
+single-process and has no equivalent).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Callable, Optional, Sequence
+
+import numpy as np
+
+
+def default_collate(samples: Sequence):
+    """Stack tuple-of-arrays samples into batch arrays."""
+    first = samples[0]
+    if isinstance(first, (tuple, list)):
+        return tuple(default_collate([s[i] for s in samples])
+                     for i in range(len(first)))
+    if first is None:
+        return None
+    return np.stack([np.asarray(s) for s in samples])
+
+
+class DataLoader:
+    """Map-style dataset → shuffled, batched, prefetched iterator.
+
+    dataset: object with __len__ and __getitem__(int).
+    """
+
+    def __init__(self, dataset, batch_size: int, *, shuffle: bool = True,
+                 drop_last: bool = True, num_workers: int = 8,
+                 prefetch: int = 2, collate_fn: Optional[Callable] = None,
+                 seed: int = 0, shard_id: int = 0, num_shards: int = 1):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.num_workers = max(1, num_workers)
+        self.prefetch = max(1, prefetch)
+        self.collate_fn = collate_fn or default_collate
+        self.seed = seed
+        self.shard_id = shard_id
+        self.num_shards = num_shards
+        self._epoch = 0
+
+    def _indices(self):
+        n = len(self.dataset)
+        idx = np.arange(n)
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self._epoch)
+            rng.shuffle(idx)
+        idx = idx[self.shard_id::self.num_shards]
+        nb = len(idx) // self.batch_size
+        if not self.drop_last and len(idx) % self.batch_size:
+            nb += 1
+        return idx, nb
+
+    def __len__(self):
+        _, nb = self._indices()
+        return nb
+
+    def __iter__(self):
+        idx, nb = self._indices()
+        self._epoch += 1
+        out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+
+        def produce():
+            with ThreadPoolExecutor(self.num_workers) as pool:
+                futures = []
+                for b in range(nb):
+                    batch_idx = idx[b * self.batch_size:(b + 1) * self.batch_size]
+                    futures.append([pool.submit(self.dataset.__getitem__, int(i))
+                                    for i in batch_idx])
+                    # keep at most `prefetch+1` batches of futures outstanding
+                    while len(futures) > self.prefetch + 1:
+                        done = futures.pop(0)
+                        out_q.put(self.collate_fn([f.result() for f in done]))
+                for done in futures:
+                    out_q.put(self.collate_fn([f.result() for f in done]))
+            out_q.put(sentinel)
+
+        thread = threading.Thread(target=produce, daemon=True)
+        thread.start()
+        while True:
+            item = out_q.get()
+            if item is sentinel:
+                break
+            yield item
+        thread.join()
