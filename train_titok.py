@@ -56,6 +56,8 @@ def parse_args():
     parser.add_argument('--image_every', type=int, default=5000)
     parser.add_argument('--seed', type=int, default=0)
     parser.add_argument('--no_wandb', action='store_true')
+    parser.add_argument('--profile_dir', type=str, default=None,
+                        help='capture a jax.profiler trace of steps 10-15 here')
     args = parser.parse_args()
     args.min_lr = args.lr / 10.0  # reference train_titok.py:114
     return args

@@ -74,10 +74,12 @@ def parse_args():
 
 
 def load_tokenizer(args, dtype):
-    """Frozen TiTok: (model, params). Checkpoint config wins over CLI dims."""
+    """Frozen tokenizer as a FrozenTokenizer (TiTok or TATiTok — the reference's
+    tokenizer is a Bytedance TATiTok checkpoint, test_import.py:18-29)."""
     import json
     from pathlib import Path
 
+    from vit_tpu.models.pretrained import FrozenTokenizer, get_titok_tokenizer
     from vit_tpu.utils.config import dataclass_from_dict
 
     if args.tokenizer_ckpt == 'random':
@@ -87,10 +89,14 @@ def load_tokenizer(args, dtype):
         params = jax.jit(model.init)(
             jax.random.PRNGKey(123),
             jnp.zeros((1, args.image_size, args.image_size, 3)))["params"]
-        return model, params
+        return FrozenTokenizer(model, params)
     ckpt_dir = Path(args.tokenizer_ckpt)
-    cfg_dict = json.loads((ckpt_dir / "best_config.json").read_text())
-    cfg = dataclass_from_dict(TiTokConfig, cfg_dict)
+    cfg_path = ckpt_dir / "best_config.json"
+    if not cfg_path.exists() or "use_l2_norm" in json.loads(cfg_path.read_text()):
+        # Bytedance-format dir or a vit_tpu TATiTok checkpoint
+        model, params = get_titok_tokenizer(str(ckpt_dir))
+        return FrozenTokenizer(model, params)
+    cfg = dataclass_from_dict(TiTokConfig, json.loads(cfg_path.read_text()))
     cfg.dtype = dtype
     cfg.__post_init__()
     model = TiTok(cfg)
@@ -100,10 +106,10 @@ def load_tokenizer(args, dtype):
     tx = make_optimizer(1e-4, 1, 10, 1e-5, 0.0)
     state = Checkpointer(str(ckpt_dir)).restore(TrainState.create(params, tx),
                                                 tag="best")
-    return model, state.params
+    return FrozenTokenizer(model, state.params)
 
 
-def make_videogpt_train_step(model: VideoGPT, titok: TiTok):
+def make_videogpt_train_step(model: VideoGPT, tokenizer):
     """Fused frozen-tokenize + AR CE step (reference loop train_videogpt.py:118-136)."""
 
     def train_step(state: TrainState, titok_params, videos):
@@ -111,7 +117,8 @@ def make_videogpt_train_step(model: VideoGPT, titok: TiTok):
 
         def tokenize(v):
             frames = rearrange(v, "b t h w c -> (b t) h w c")
-            idx = titok.apply({"params": titok_params}, frames, method="encode")
+            tok = type(tokenizer)(tokenizer.model, titok_params)
+            idx = tok.encode_indices(frames)
             return rearrange(idx, "(b t) n -> b t n", b=b)
 
         tokens = jax.lax.stop_gradient(tokenize(videos))
@@ -133,10 +140,11 @@ def main():
     args = parse_args()
     dtype = jnp.bfloat16 if args.mixed else jnp.float32
 
-    titok_model, titok_params = load_tokenizer(args, dtype)
-    args.frame_size = titok_model.config.latent_tokens
-    args.codebook_size = titok_model.config.codebook_size
-    args.image_size = titok_model.config.image_size
+    tokenizer = load_tokenizer(args, dtype)
+    titok_params = tokenizer.params
+    args.frame_size = tokenizer.latent_tokens
+    args.codebook_size = tokenizer.codebook_size
+    args.image_size = tokenizer.image_size
 
     videogpt_config = VideoGPTConfig(args.frame_size, args.codebook_size,
                                      args.transformer, args.max_frames, args.dropout,
@@ -172,7 +180,7 @@ def main():
         state = ckpt.restore(state)
         print(f"RESUMED at step {int(state.step)}")
 
-    train_step = jax.jit(make_videogpt_train_step(model, titok_model),
+    train_step = jax.jit(make_videogpt_train_step(model, tokenizer),
                          donate_argnums=(0,))
 
     print(f"STATS: titok_params={params_str(titok_params)}, "
@@ -209,8 +217,7 @@ def main():
                                              args.max_frames - args.condition_frames)
                 gen_frames = rearrange(gen_tokens, "b (t n) -> (b t) n",
                                        n=args.frame_size)
-                gen_video = titok_model.apply({"params": titok_params}, gen_frames,
-                                              method="decode_indices")
+                gen_video = tokenizer.decode_indices(gen_frames)
                 gen_video = jnp.clip(gen_video, 0.0, 1.0)
                 gen_video = rearrange(gen_video, "(b t) h w c -> b h (t w) c", b=2)
                 real = rearrange(clip[:2], "b t h w c -> b h (t w) c")

@@ -32,21 +32,26 @@ from vit_tpu.utils.init import dense
 
 class LayerNorm(nn.Module):
     """LayerNorm with fp32 statistics; affine params optional (reference uses
-    F.layer_norm without affine in the minimal core, transformer.py:43-44)."""
+    F.layer_norm without affine in the minimal core, transformer.py:43-44).
+    Implemented inline (not a nested nn.LayerNorm) so affine params live directly at
+    <name>/scale, <name>/bias — the layout torch checkpoint conversion maps onto."""
 
     config: TransformerConfig
 
     @nn.compact
     def __call__(self, x):
         cfg = self.config
-        ln = nn.LayerNorm(
-            epsilon=1e-5,
-            use_scale=cfg.ln_affine,
-            use_bias=cfg.ln_affine,
-            dtype=jnp.float32,
-            param_dtype=cfg.param_dtype,
-        )
-        return ln(x).astype(cfg.dtype)
+        x32 = x.astype(jnp.float32)
+        mean = jnp.mean(x32, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+        y = (x32 - mean) * jax.lax.rsqrt(var + 1e-5)
+        if cfg.ln_affine:
+            scale = self.param("scale", nn.initializers.ones,
+                               (cfg.n_embd,), cfg.param_dtype)
+            bias = self.param("bias", nn.initializers.zeros,
+                              (cfg.n_embd,), cfg.param_dtype)
+            y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+        return y.astype(cfg.dtype)
 
 
 class Attention(nn.Module):

@@ -71,14 +71,30 @@ def run_tokenizer_training(args, model, model_config, train_loader, *,
 
     print(f"STATS: enc_params={params_str(state.params)}")
 
+    # Profiling (SURVEY.md §5): the reference only wall-clocks step/load time; here a
+    # jax.profiler trace of steps 10..15 can be captured to --profile_dir or
+    # $VIT_TPU_PROFILE_DIR (view with tensorboard / xprof).
+    import os
+
+    profile_dir = (getattr(args, "profile_dir", None)
+                   or os.environ.get("VIT_TPU_PROFILE_DIR"))
+
     best_recon = float("inf")
     usage = jnp.zeros((codebook_size,), jnp.float32)
+    global_i = 0
     for epoch in range(args.epochs):
         st = time.time()
         for i, (images, _) in enumerate(train_loader):
+            if profile_dir and global_i == 10:
+                jax.profiler.start_trace(profile_dir)
             load_time = time.time() - st
             images = jnp.asarray(images)
             state, usage, metrics, recon = train_step(state, images, usage, rng)
+            if profile_dir and global_i == 15:
+                jax.block_until_ready(recon)
+                jax.profiler.stop_trace()
+                print(f"PROFILE: trace for steps 10-15 written to {profile_dir}")
+            global_i += 1
             if i % args.log_every == 0:
                 jax.block_until_ready(state.params)
                 step_time = time.time() - st - load_time
