@@ -54,15 +54,70 @@ class ImageFolderDataset:
         return arr.astype(np.float32), np.int32(label)
 
 
+class RawJpegDataset:
+    """(jpeg bytes, label) view for the native C++ batch decoder."""
+
+    def __init__(self, folder: ImageFolderDataset):
+        self.folder = folder
+
+    def __len__(self):
+        return len(self.folder)
+
+    def __getitem__(self, idx: int):
+        path, label = self.folder.samples[idx]
+        return path.read_bytes(), np.int32(label)
+
+
+def _native_collate(image_size: int, train: bool, num_threads: int):
+    from vit_tpu.data import native
+
+    def collate(samples):
+        jpegs = [s[0] for s in samples]
+        labels = np.asarray([s[1] for s in samples], np.int32)
+        seed = int(np.random.randint(1 << 31)) if train else 0
+        images = native.decode_batch(jpegs, image_size, train=train, seed=seed,
+                                     num_threads=num_threads)
+        return images, labels
+
+    return collate
+
+
 def get_imagenet_loaders(image_size: int, bs: int,
                          data_dir: Optional[str] = None,
                          num_workers: int = 8,
-                         shard_id: int = 0, num_shards: int = 1
+                         shard_id: int = 0, num_shards: int = 1,
+                         use_native: str = "auto"
                          ) -> Tuple[DataLoader, DataLoader]:
-    """Loader parity with reference datasets.py:7-28."""
+    """Loader parity with reference datasets.py:7-28.
+
+    use_native: "auto" uses the C++ batch decoder (native/image_pipeline.cc) when the
+    library builds; "never" forces the PIL path; "always" errors if unavailable.
+    """
     data_dir = data_dir or '/mnt/data/Public_datasets/imagenet/imagenet_pytorch'
     train_set = ImageFolderDataset(Path(data_dir) / "train", image_size, train=True)
     valid_set = ImageFolderDataset(Path(data_dir) / "val", image_size, train=False)
+
+    native_on = False
+    if use_native != "never":
+        from vit_tpu.data import native
+
+        native_on = native.is_available()
+        if use_native == "always" and not native_on:
+            raise RuntimeError("native image pipeline unavailable")
+
+    if native_on:
+        train_loader = DataLoader(
+            RawJpegDataset(train_set), bs, shuffle=True, drop_last=True,
+            num_workers=num_workers, prefetch=2,
+            collate_fn=_native_collate(image_size, True, num_workers),
+            shard_id=shard_id, num_shards=num_shards)
+        valid_loader = DataLoader(
+            RawJpegDataset(valid_set), 2 * bs, shuffle=False, drop_last=False,
+            num_workers=max(1, num_workers // 2),
+            collate_fn=_native_collate(image_size, False, num_workers),
+            shard_id=shard_id, num_shards=num_shards)
+        return train_loader, valid_loader
+
     train_loader = DataLoader(train_set, bs, shuffle=True, drop_last=True,
                               num_workers=num_workers, prefetch=2,
                               shard_id=shard_id, num_shards=num_shards)
