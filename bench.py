@@ -64,14 +64,17 @@ def main():
         donate_argnums=(0, 2),
     )
 
+    # NOTE: on this platform block_until_ready can ack dispatch before execution
+    # completes; jax.device_get of a value chained through every step is the
+    # reliable completion barrier.
     for _ in range(args.warmup):
         state, usage, metrics, _ = step(state, images, usage, rng)
-    jax.block_until_ready(state.params)
+    float(jax.device_get(metrics["train/loss"]))
 
     t0 = time.perf_counter()
     for _ in range(args.steps):
         state, usage, metrics, _ = step(state, images, usage, rng)
-    jax.block_until_ready(state.params)
+    float(jax.device_get(metrics["train/loss"]))
     dt = time.perf_counter() - t0
 
     img_per_s = args.bs * args.steps / dt

@@ -187,9 +187,8 @@ def main():
             load_time = time.time() - st
             state, usage, metrics, indices = train_step(state, codes, usage)
             if step % args.log_every == 0:
-                jax.block_until_ready(state.params)
-                step_time = time.time() - st - load_time
                 host = {k: float(jax.device_get(v)) for k, v in metrics.items()}
+                step_time = time.time() - st - load_time
                 host.update({"train/epoch": epoch,
                              "benchmark/load_time": load_time,
                              "benchmark/step_time": step_time})

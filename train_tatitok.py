@@ -184,9 +184,8 @@ def main():
             state, vq_stats, usage, metrics, recon = train_step(
                 state, vq_stats, images, usage)
             if step % args.log_every == 0:
-                jax.block_until_ready(state.params)
-                step_time = time.time() - st - load_time
                 host = {k: float(jax.device_get(v)) for k, v in metrics.items()}
+                step_time = time.time() - st - load_time
                 host.update({"train/epoch": epoch,
                              "benchmark/load_time": load_time,
                              "benchmark/step_time": step_time})

@@ -199,9 +199,8 @@ def main():
             load_time = time.time() - st
             state, tokens, metrics = train_step(state, titok_params, clip)
             if steps % args.log_every == 0:
-                jax.block_until_ready(state.params)
-                step_time = time.time() - st - load_time
                 loss = float(jax.device_get(metrics["train/loss"]))
+                step_time = time.time() - st - load_time
                 logger.log({"train/loss": loss, "train/epoch": epoch,
                             "train/steps": steps,
                             "benchmark/load_time": load_time,

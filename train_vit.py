@@ -147,9 +147,8 @@ def main():
                                         jnp.asarray(labels), rng)
             window_metrics.append(metrics)
             if i % args.log_every == 0:
-                jax.block_until_ready(state.params)
-                step_time = time.time() - st - load_time
                 loss = float(jax.device_get(metrics["train/loss"]))
+                step_time = time.time() - st - load_time
                 logger.log({"train/loss": loss,
                             "train/acc": float(jax.device_get(metrics["train/acc"])),
                             "train/epoch": epoch,

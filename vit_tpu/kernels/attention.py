@@ -39,19 +39,21 @@ def _ceil_to(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _fa_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, causal: bool,
+def _fa_kernel(q_ref, kt_ref, v_ref, o_ref, *, scale: float, causal: bool,
                seq_len: int, block_q: int):
-    """One q-block of fused attention. Shapes: q (1,BQ,D), k/v (1,Sp,D), o (1,BQ,D)."""
+    """One q-block of fused attention. Shapes: q (1,BQ,D), kᵀ (1,D,Sp), v (1,Sp,D),
+    o (1,BQ,D). K is pre-transposed so the QKᵀ contraction is a standard (M,K)×(K,N)
+    MXU matmul (Mosaic rejects a bf16 dim-1×dim-1 contraction)."""
     iq = pl.program_id(1)
     q = q_ref[0]                      # (BQ, D)
-    k = k_ref[0]                      # (Sp, D)
+    kt = kt_ref[0]                    # (D, Sp)
     v = v_ref[0]                      # (Sp, D)
-    sp = k.shape[0]
+    sp = kt.shape[1]
     bq = q.shape[0]
 
     s = jax.lax.dot_general(
-        q, k,
-        dimension_numbers=(((1,), (1,)), ((), ())),
+        q, kt,
+        dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) * scale                          # (BQ, Sp) fp32
 
@@ -85,6 +87,7 @@ def _flash_attention_fwd_impl(q, k, v, causal: bool):
         return jnp.pad(x, ((0, 0), (0, sp - s), (0, 0)))
 
     qf, kf, vf = prep(q), prep(k), prep(v)
+    ktf = jnp.swapaxes(kf, 1, 2)      # (BH, D, Sp) — see _fa_kernel docstring
     n_q = sp // block_q
 
     # Interpret mode makes the kernel runnable on the CPU test mesh
@@ -99,7 +102,7 @@ def _flash_attention_fwd_impl(q, k, v, causal: bool):
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda bh, iq: (bh, iq, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, sp, d), lambda bh, iq: (bh, 0, 0),
+            pl.BlockSpec((1, d, sp), lambda bh, iq: (bh, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, sp, d), lambda bh, iq: (bh, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -113,8 +116,104 @@ def _flash_attention_fwd_impl(q, k, v, causal: bool):
             transcendentals=b * h * sp * sp,
         ),
         interpret=interpret,
-    )(qf, kf, vf)
+    )(qf, ktf, vf)
     return out[:, :s, :].reshape(b, h, s, d)
+
+
+def _fa_bwd_kernel(q_ref, kt_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *,
+                   scale: float, causal: bool, seq_len: int):
+    """Fused attention backward, one (batch, head) per program; full sequence in
+    VMEM (profile-driven: the XLA rematerialized backward ran at ~28 TF/s because
+    every (S,S) intermediate round-tripped HBM; here p/dp/ds never leave VMEM).
+
+    Shapes: q/v/do (1, Sp, D), kᵀ (1, D, Sp) → dq/dk/dv (1, Sp, D).
+    Math (flash-attention backward with recomputed probabilities):
+      p  = softmax(mask(q·kᵀ·scale))
+      dv = pᵀ·do
+      dp = do·vᵀ
+      ds = p ∘ (dp − rowsum(p ∘ dp)) · scale
+      dq = ds·k ;  dk = dsᵀ·q
+    Zero-padded do rows / masked key columns make all padding gradients vanish
+    exactly (exp(finfo.min − m) underflows to 0).
+    """
+    q = q_ref[0]                       # (Sp, D)
+    kt = kt_ref[0]                     # (D, Sp)
+    v = v_ref[0]                       # (Sp, D)
+    do = do_ref[0]                     # (Sp, D)
+    sp = q.shape[0]
+
+    s = jax.lax.dot_general(q, kt, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    col = jax.lax.broadcasted_iota(jnp.int32, (sp, sp), dimension=1)
+    valid = col < seq_len
+    if causal:
+        row = jax.lax.broadcasted_iota(jnp.int32, (sp, sp), dimension=0)
+        valid = jnp.logical_and(valid, col <= row)
+    s = jnp.where(valid, s, jnp.finfo(jnp.float32).min)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    p = p / l                          # true probabilities (Sp, Sp) fp32
+
+    pc = p.astype(v.dtype)
+    dv = jax.lax.dot_general(jnp.swapaxes(pc, 0, 1), do,
+                             (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    dp = jax.lax.dot_general(do, jnp.swapaxes(v, 0, 1),
+                             (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    delta = jnp.sum(p * dp, axis=-1, keepdims=True)
+    ds = (p * (dp - delta) * scale).astype(q.dtype)
+    dq = jax.lax.dot_general(ds, jnp.swapaxes(kt, 0, 1),
+                             (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    dk = jax.lax.dot_general(jnp.swapaxes(ds, 0, 1), q,
+                             (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+    dk_ref[0] = dk.astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+# VMEM budget for the single-program backward: p/dp/ds are (Sp, Sp) fp32.
+_MAX_FUSED_BWD_SEQ = 768
+
+
+def _flash_attention_bwd_impl(q, k, v, g, causal: bool):
+    b, h, s, d = q.shape
+    scale = 1.0 / math.sqrt(d)
+    sp = _ceil_to(s, _LANE)
+
+    def prep(x):
+        x = x.reshape(b * h, s, d)
+        return jnp.pad(x, ((0, 0), (0, sp - s), (0, 0)))
+
+    qf, kf, vf, gf = prep(q), prep(k), prep(v), prep(g)
+    ktf = jnp.swapaxes(kf, 1, 2)
+    interpret = jax.default_backend() != "tpu"
+
+    spec = pl.BlockSpec((1, sp, d), lambda bh: (bh, 0, 0), memory_space=pltpu.VMEM)
+    kt_spec = pl.BlockSpec((1, d, sp), lambda bh: (bh, 0, 0),
+                           memory_space=pltpu.VMEM)
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_fa_bwd_kernel, scale=scale, causal=causal, seq_len=s),
+        grid=(b * h,),
+        in_specs=[spec, kt_spec, spec, spec],
+        out_specs=(spec, spec, spec),
+        out_shape=tuple(jax.ShapeDtypeStruct((b * h, sp, d), q.dtype)
+                        for _ in range(3)),
+        cost_estimate=pl.CostEstimate(
+            flops=10 * b * h * sp * sp * d,
+            bytes_accessed=7 * b * h * sp * d * q.dtype.itemsize,
+            transcendentals=b * h * sp * sp,
+        ),
+        interpret=interpret,
+    )(qf, ktf, vf, gf)
+
+    def unprep(x):
+        return x[:, :s, :].reshape(b, h, s, d)
+
+    return unprep(dq), unprep(dk), unprep(dv)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
@@ -128,10 +227,12 @@ def _fa_fwd(q, k, v, causal):
 
 def _fa_bwd(causal, res, g):
     q, k, v = res
-    # Rematerialized backward via the XLA path (same math; fp32 softmax chain).
-    _, vjp = jax.vjp(lambda q_, k_, v_: attention_xla(q_, k_, v_, causal=causal),
-                     q, k, v)
-    return vjp(g)
+    if q.shape[-2] > _MAX_FUSED_BWD_SEQ:
+        # Rematerialized XLA backward for long sequences (VMEM bound).
+        _, vjp = jax.vjp(lambda q_, k_, v_: attention_xla(q_, k_, v_, causal=causal),
+                         q, k, v)
+        return vjp(g)
+    return _flash_attention_bwd_impl(q, k, v, g, causal)
 
 
 _flash_attention.defvjp(_fa_fwd, _fa_bwd)

@@ -96,9 +96,9 @@ def run_tokenizer_training(args, model, model_config, train_loader, *,
                 print(f"PROFILE: trace for steps 10-15 written to {profile_dir}")
             global_i += 1
             if i % args.log_every == 0:
-                jax.block_until_ready(state.params)
-                step_time = time.time() - st - load_time
                 host = {k: float(jax.device_get(v)) for k, v in metrics.items()}
+                step_time = time.time() - st - load_time  # after device_get: the
+                # fetch is the only reliable completion barrier on this platform
                 host.update({"train/epoch": epoch,
                              "benchmark/load_time": load_time,
                              "benchmark/step_time": step_time})
