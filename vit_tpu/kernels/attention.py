@@ -12,11 +12,12 @@ Design (sized for this model family: S ≤ ~4k tokens, head_dim 64):
     dtype on the MXU with fp32 accumulation.
   - causal masking via 2-D iota comparison — the additive −inf buffer of the reference
     (transformer.py:22-25) becomes a register-level predicate, no mask tensor in memory.
-  - sequence padding to the 128-lane tile is handled here and masked out, so callers can
-    use the reference's "odd" sequence lengths (e.g. 257 = 1 cls + 256 patches).
+  - odd sequence lengths (e.g. 257 = 1 cls + 256 patches) are padded only to sublane
+    granularity (8) and masked — the flagship S=320 runs with zero padding copies.
 
-Backward: custom VJP that recomputes attention with the XLA path (flash-style remat —
-no residuals besides q,k,v). A fully fused Pallas backward is a planned optimization.
+Backward: custom VJP into a fused single-program Pallas backward (_fa_bwd_kernel) that
+keeps every (S,S) intermediate in VMEM; beyond _MAX_FUSED_BWD_SEQ it falls back to an
+XLA rematerialized backward (no residuals besides q,k,v either way).
 """
 
 from __future__ import annotations
@@ -31,7 +32,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 from vit_tpu.ops.attention import attention_xla
 
-_LANE = 128
+# The sequence axis sits on SUBLANES (the last axis is head_dim): 8-alignment
+# suffices (fp32 tile granularity), so e.g. the flagship S=320 needs NO padding
+# (128-alignment would copy-pad every q/k/v to 384 on every call).
+_SUBLANE = 8
 _MAX_FUSED_SEQ = 8192  # beyond this, fall back to the XLA path (VMEM budget)
 
 
@@ -79,8 +83,11 @@ def _fa_kernel(q_ref, kt_ref, v_ref, o_ref, *, scale: float, causal: bool,
 def _flash_attention_fwd_impl(q, k, v, causal: bool):
     b, h, s, d = q.shape
     scale = 1.0 / math.sqrt(d)
-    block_q = min(_ceil_to(s, _LANE), 512)
-    sp = _ceil_to(s, block_q)
+    if s <= 512:
+        block_q = sp = _ceil_to(s, _SUBLANE)   # single q block, minimal padding
+    else:
+        block_q = 512
+        sp = _ceil_to(s, block_q)
 
     def prep(x):
         x = x.reshape(b * h, s, d)
@@ -182,7 +189,7 @@ _MAX_FUSED_BWD_SEQ = 768
 def _flash_attention_bwd_impl(q, k, v, g, causal: bool):
     b, h, s, d = q.shape
     scale = 1.0 / math.sqrt(d)
-    sp = _ceil_to(s, _LANE)
+    sp = _ceil_to(s, _SUBLANE)
 
     def prep(x):
         x = x.reshape(b * h, s, d)
