@@ -1,0 +1,95 @@
+"""Secondary north-star benchmarks (BASELINE.json metric): ViT-B supervised-training
+images/sec/chip and TiTok enc+dec (tokenizer inference) tokens/sec. The headline
+driver benchmark stays in bench.py (TiTok-B training throughput).
+
+Prints one JSON line per metric. Timing uses device_get as the completion barrier
+(block_until_ready acks dispatch early on this platform).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def _timed(step_fn, fetch, n):
+    fetch(step_fn())
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(n):
+        out = step_fn()
+    fetch(out)
+    return (time.perf_counter() - t0) / n
+
+
+def bench_vit(bs: int, steps: int):
+    """ViT-B/16 @224 supervised classification training step."""
+    from vit_tpu.models.vit import ViTClassifier, ViTConfig
+    from vit_tpu.train.optim import make_optimizer
+    from vit_tpu.train.state import TrainState
+    from vit_tpu.train.step import make_classifier_train_step
+
+    cfg = ViTConfig(224, 3, 16, "B", 1, 0.0)
+    model = ViTClassifier(cfg, num_classes=1000)
+    rng = jax.random.PRNGKey(0)
+    images = jax.random.uniform(rng, (bs, 224, 224, 3), jnp.float32)
+    labels = jax.random.randint(rng, (bs,), 0, 1000)
+    params = jax.jit(model.init)(rng, images[:1])["params"]
+    tx = make_optimizer(1e-4, 5000, 500000, 1e-5, 1e-2, clip_norm=None)
+    state = TrainState.create(params, tx)
+    step = jax.jit(make_classifier_train_step(model), donate_argnums=(0,))
+
+    holder = {"state": state}
+
+    def one():
+        holder["state"], metrics = step(holder["state"], images, labels, rng)
+        return metrics
+
+    dt = _timed(one, lambda m: float(jax.device_get(m["train/loss"])), steps)
+    print(json.dumps({"metric": "vit_b16_224_train_images_per_sec_per_chip",
+                      "value": round(bs / dt, 2), "unit": "images/sec/chip"}))
+
+
+def bench_titok_tokens(bs: int, steps: int):
+    """TiTok-B enc+dec inference: tokens/sec (256 latent tokens per image)."""
+    from vit_tpu.models.titok import TiTok, TiTokConfig
+
+    cfg = TiTokConfig(128, 16, 256, 2048, 12, "B")
+    model = TiTok(cfg)
+    rng = jax.random.PRNGKey(0)
+    images = jax.random.uniform(rng, (bs, 128, 128, 3), jnp.float32)
+    params = jax.jit(model.init)(rng, images[:1])["params"]
+
+    fwd = jax.jit(lambda p, x: model.apply({"params": p}, x))
+
+    def one():
+        return fwd(params, images)
+
+    dt = _timed(one, lambda out: float(jax.device_get(out[2])), steps)
+    tokens_per_sec = bs * cfg.latent_tokens / dt
+    print(json.dumps({"metric": "titok_b_encdec_tokens_per_sec",
+                      "value": round(tokens_per_sec, 1), "unit": "tokens/sec",
+                      "images_per_sec": round(bs / dt, 1)}))
+
+
+def main():
+    from vit_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--bs", type=int, default=64)
+    parser.add_argument("--steps", type=int, default=10)
+    parser.add_argument("--only", type=str, default=None,
+                        choices=[None, "vit", "titok"])
+    args = parser.parse_args()
+    if args.only in (None, "vit"):
+        bench_vit(args.bs, args.steps)
+    if args.only in (None, "titok"):
+        bench_titok_tokens(args.bs, args.steps)
+
+
+if __name__ == "__main__":
+    main()

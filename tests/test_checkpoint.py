@@ -1,0 +1,62 @@
+"""Orbax checkpointing: roundtrip, best-metric gating, resume continuation."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vit_tpu.train.checkpoint import Checkpointer
+from vit_tpu.train.optim import make_optimizer
+from vit_tpu.train.state import TrainState
+
+
+def _state(value=0.0):
+    params = {"w": jnp.full((4, 4), value), "b": jnp.zeros((4,))}
+    tx = make_optimizer(1e-3, 2, 100, 1e-4, 1e-2)
+    return TrainState.create(params, tx)
+
+
+def test_save_restore_roundtrip(tmp_path):
+    state = _state(1.5)
+    state = state.apply_gradients(jax.tree.map(jnp.ones_like, state.params))
+    ckpt = Checkpointer(str(tmp_path), mode="min")
+    ckpt.save(state, config={"image_size": 32}, tag="last")
+
+    restored = Checkpointer(str(tmp_path)).restore(_state(0.0), tag="last")
+    assert int(restored.step) == 1
+    for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                    jax.tree_util.tree_leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # optimizer moments restored too
+    for a, b in zip(jax.tree_util.tree_leaves(state.opt_state),
+                    jax.tree_util.tree_leaves(restored.opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_best_metric_gating(tmp_path):
+    ckpt = Checkpointer(str(tmp_path), mode="min")
+    assert ckpt.save_if_best(_state(1.0), 0.5) is True
+    assert ckpt.save_if_best(_state(2.0), 0.7) is False   # worse: not saved
+    assert ckpt.save_if_best(_state(3.0), 0.3) is True
+    restored = ckpt.restore(_state(0.0), tag="best")
+    np.testing.assert_array_equal(np.asarray(restored.params["w"]),
+                                  np.full((4, 4), 3.0, np.float32))
+    # a fresh Checkpointer learns the previous best from meta
+    ckpt2 = Checkpointer(str(tmp_path), mode="min")
+    ckpt2.restore(_state(0.0), tag="best")
+    assert ckpt2.best == 0.3
+    assert ckpt2.save_if_best(_state(4.0), 0.4) is False
+
+
+def test_resume_continues_training(tmp_path):
+    state = _state(1.0)
+    grads = jax.tree.map(jnp.ones_like, state.params)
+    for _ in range(3):
+        state = state.apply_gradients(grads)
+    Checkpointer(str(tmp_path)).save(state, tag="last")
+
+    resumed = Checkpointer(str(tmp_path)).restore(_state(0.0), tag="last")
+    state_cont = state.apply_gradients(grads)
+    resumed_cont = resumed.apply_gradients(grads)
+    assert int(resumed_cont.step) == 4
+    np.testing.assert_allclose(np.asarray(state_cont.params["w"]),
+                               np.asarray(resumed_cont.params["w"]), atol=1e-7)

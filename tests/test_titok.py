@@ -92,3 +92,13 @@ def test_perceptual_loss_zero_for_identical_and_positive_otherwise():
     y = jax.random.uniform(jax.random.PRNGKey(2), (2, 32, 32, 3))
     assert float(loss(x, x)) == 0.0
     assert float(loss(x, y)) > 0.0
+
+
+def test_matmul_resize_matches_jax_image_resize():
+    from vit_tpu.losses.resize import resize_bilinear_antialias
+
+    rng = jax.random.PRNGKey(0)
+    img = jax.random.uniform(rng, (2, 48, 64, 3))
+    got = resize_bilinear_antialias(img, 32, 32)
+    want = jax.image.resize(img, (2, 32, 32, 3), "bilinear", antialias=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)

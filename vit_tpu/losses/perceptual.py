@@ -112,11 +112,12 @@ class PerceptualLoss:
                              "or PerceptualLoss.init_params()")
 
         def prep(img):
-            img = jax.image.resize(
-                img.astype(jnp.float32),
-                (img.shape[0], 224, 224, img.shape[3]),
-                method="bilinear", antialias=True)  # matches F.interpolate(...,
-            # mode='bilinear', antialias=True), reference perceptual_loss.py:61-62
+            from vit_tpu.losses.resize import resize_bilinear_antialias
+
+            # Two-matmul antialiased bilinear resize — equals jax.image.resize /
+            # F.interpolate(..., antialias=True) to ~1e-5 (reference
+            # perceptual_loss.py:61-62) but stays on the MXU.
+            img = resize_bilinear_antialias(img, 224, 224)
             mean = jnp.asarray(IMAGENET_MEAN)
             std = jnp.asarray(IMAGENET_STD)
             return (img - mean) / std

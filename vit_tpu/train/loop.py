@@ -112,6 +112,9 @@ def run_tokenizer_training(args, model, model_config, train_loader, *,
                     best_recon = host["train/recon_loss"]
                     ckpt.save_if_best(state, host["train/recon_loss"],
                                       config=model_config)
+                # rolling "last" checkpoint: crash recovery via --resume
+                # (the reference loses the run on crash, SURVEY.md §5)
+                ckpt.save(state, config=model_config, tag="last")
             if i % args.image_every == 0:
                 logger.log_images({"images": jax.device_get(images[:4]),
                                    "reconstructions": jax.device_get(recon[:4])},
