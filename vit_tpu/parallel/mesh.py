@@ -39,6 +39,22 @@ def make_mesh(dp: Optional[int] = None, fsdp: int = 1, tp: int = 1,
     return Mesh(arr, AXES)
 
 
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> None:
+    """Multi-host bring-up: jax.distributed.initialize (auto-detected on Cloud TPU
+    when called with no args). After this, ``make_mesh`` spans all hosts' devices and
+    the same pjit code runs ICI-within-slice / DCN-across-slices. Single-process runs
+    may skip this entirely."""
+    import jax.distributed
+
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs = dict(coordinator_address=coordinator_address,
+                      num_processes=num_processes, process_id=process_id)
+    jax.distributed.initialize(**kwargs)
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Batch tensors: sharded over the data axis, replicated elsewhere."""
     return NamedSharding(mesh, P("data"))
