@@ -31,6 +31,26 @@ CONVNEXT_S_DEPTHS = (3, 3, 27, 3)
 CONVNEXT_S_DIMS = (96, 192, 384, 768)
 
 
+class DWConv7(nn.Module):
+    """7×7 depthwise conv with nn.Conv-compatible params (kernel (7,7,1,C), bias (C,));
+    dispatches to the fused Pallas kernel on TPU (vit_tpu/kernels/depthwise.py —
+    XLA's grouped conv is the perceptual term's bandwidth hotspot)."""
+
+    dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (7, 7, 1, self.dim), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.dim,), jnp.float32)
+        from vit_tpu.kernels.depthwise import depthwise_conv
+
+        return depthwise_conv(x.astype(self.dtype),
+                              kernel[:, :, 0, :].astype(self.dtype),
+                              bias.astype(self.dtype), 7)
+
+
 class ConvNeXtBlock(nn.Module):
     """7×7 depthwise conv → LN → 4× MLP with GELU → layer-scale, residual."""
 
@@ -39,8 +59,7 @@ class ConvNeXtBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        h = nn.Conv(self.dim, (7, 7), padding=3, feature_group_count=self.dim,
-                    dtype=self.dtype, name="dwconv")(x)
+        h = DWConv7(self.dim, dtype=self.dtype, name="dwconv")(x)
         h = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm")(h)
         h = nn.Dense(4 * self.dim, dtype=self.dtype, name="pwconv1")(h)
         h = nn.gelu(h, approximate=False)
