@@ -32,23 +32,34 @@ CONVNEXT_S_DIMS = (96, 192, 384, 768)
 
 
 class DWConv7(nn.Module):
-    """7×7 depthwise conv with nn.Conv-compatible params (kernel (7,7,1,C), bias (C,));
-    dispatches to the fused Pallas kernel on TPU (vit_tpu/kernels/depthwise.py —
-    XLA's grouped conv is the perceptual term's bandwidth hotspot)."""
+    """7×7 depthwise conv with nn.Conv-compatible params (kernel (7,7,1,C), bias (C,)).
+
+    impl="lax" (default): XLA grouped conv. impl="pallas" dispatches to the fused
+    kernel in vit_tpu/kernels/depthwise.py — measured SLOWER end-to-end on this
+    bandwidth-limited chip (170.8 vs 187.0 img/s headline) because the custom-VJP
+    weight-gradient reduction outweighs the forward win; kept as groundwork with
+    parity tests for revisit on full-bandwidth parts."""
 
     dim: int
     dtype: jnp.dtype = jnp.float32
+    impl: str = "lax"
 
     @nn.compact
     def __call__(self, x):
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
                             (7, 7, 1, self.dim), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (self.dim,), jnp.float32)
-        from vit_tpu.kernels.depthwise import depthwise_conv
+        if self.impl == "pallas":
+            from vit_tpu.kernels.depthwise import depthwise_conv
 
-        return depthwise_conv(x.astype(self.dtype),
-                              kernel[:, :, 0, :].astype(self.dtype),
-                              bias.astype(self.dtype), 7)
+            return depthwise_conv(x.astype(self.dtype),
+                                  kernel[:, :, 0, :].astype(self.dtype),
+                                  bias.astype(self.dtype), 7)
+        out = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), kernel.astype(self.dtype), (1, 1),
+            [(3, 3), (3, 3)], dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=self.dim)
+        return out + bias.astype(out.dtype)
 
 
 class ConvNeXtBlock(nn.Module):
