@@ -1,0 +1,137 @@
+"""Reconstruction-quality evaluation: PSNR + perceptual distance for a trained
+tokenizer checkpoint (the BASELINE.json north-star "recon PSNR/LPIPS parity" tool —
+the reference has no eval script; its de-facto validation is wandb image grids,
+SURVEY.md §4).
+
+Usage:
+  python eval_recon.py --ckpt titok_models --model titok --dataset synthetic --bs 16
+  python eval_recon.py --ckpt titok_models/vit_vqgan --model vit_vqgan \
+      --dataset imagenet --data_dir /path/to/imagenet
+
+Prints one JSON line: {"psnr": ..., "perceptual": ..., "codebook_usage": ..., "n": N}.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vit_tpu.train.checkpoint import Checkpointer
+from vit_tpu.train.optim import make_optimizer
+from vit_tpu.train.state import TrainState
+from vit_tpu.utils.config import dataclass_from_dict
+from vit_tpu.utils.metrics import psnr
+
+
+def load_model(args):
+    import json as _json
+
+    cfg_dict = _json.loads((Path(args.ckpt) / "best_config.json").read_text())
+    if args.model == "titok":
+        from vit_tpu.models.titok import TiTok, TiTokConfig
+
+        cfg = dataclass_from_dict(TiTokConfig, cfg_dict)
+        cls = TiTok
+    elif args.model == "vit_vqgan":
+        from vit_tpu.models.vit_vqgan import ViTVQGAN, ViTVQGANConfig
+
+        cfg = dataclass_from_dict(ViTVQGANConfig, cfg_dict)
+        cls = ViTVQGAN
+    elif args.model == "tatitok":
+        from vit_tpu.models.tatitok import TATiTok, TATiTokConfig
+
+        cfg = dataclass_from_dict(TATiTokConfig, cfg_dict)
+        cls = TATiTok
+    else:
+        raise ValueError(args.model)
+    cfg.__post_init__()
+    model = cls(cfg)
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, cfg.image_size, cfg.image_size, 3)))["params"]
+    tx = make_optimizer(1e-4, 1, 10, 1e-5, 0.0)
+    state = Checkpointer(args.ckpt).restore(TrainState.create(params, tx),
+                                            tag=args.tag)
+    return model, state.params, cfg
+
+
+def main():
+    from vit_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+    parser = argparse.ArgumentParser()
+    parser.add_argument('--ckpt', type=str, required=True)
+    parser.add_argument('--model', type=str, default='titok',
+                        choices=['titok', 'vit_vqgan', 'tatitok'])
+    parser.add_argument('--tag', type=str, default='best')
+    parser.add_argument('--dataset', type=str, default='synthetic',
+                        choices=['synthetic', 'imagenet', 'dmlab', 'minecraft'])
+    parser.add_argument('--data_dir', type=str, default=None)
+    parser.add_argument('--bs', type=int, default=16)
+    parser.add_argument('--batches', type=int, default=10)
+    parser.add_argument('--perceptual_weights', type=str, default=None)
+    args = parser.parse_args()
+
+    model, params, cfg = load_model(args)
+
+    if args.dataset == 'synthetic':
+        from vit_tpu.data.synthetic import SyntheticImageLoader
+
+        loader = SyntheticImageLoader(cfg.image_size, args.bs,
+                                      steps_per_epoch=args.batches, seed=1)
+    elif args.dataset == 'imagenet':
+        from vit_tpu.data.imagenet import get_imagenet_loaders
+
+        loader = get_imagenet_loaders(cfg.image_size, args.bs,
+                                      data_dir=args.data_dir)[1]
+    else:
+        from vit_tpu.data.video import (get_dmlab_image_loaders,
+                                        get_minecraft_image_loaders)
+
+        fn = (get_dmlab_image_loaders if args.dataset == 'dmlab'
+              else get_minecraft_image_loaders)
+        loader = fn(args.bs, dataset_path=args.data_dir)[0]
+
+    perceptual = None
+    if args.perceptual_weights:
+        from vit_tpu.losses.perceptual import PerceptualLoss
+
+        weights = (PerceptualLoss.init_params()
+                   if args.perceptual_weights == "random"
+                   else PerceptualLoss.load_params(args.perceptual_weights))
+        perceptual = PerceptualLoss(weights)
+
+    if args.model == "tatitok":
+        fwd = jax.jit(lambda p, x: model.apply({"params": p}, x)[0])
+        idx_fn = jax.jit(lambda p, x: model.apply(
+            {"params": p}, x, method="encode")[1]["min_encoding_indices"])
+    else:
+        fwd = jax.jit(lambda p, x: model.apply({"params": p}, x)[0])
+        idx_fn = jax.jit(lambda p, x: model.apply({"params": p}, x, method="encode"))
+
+    psnrs, percs, n = [], [], 0
+    usage = np.zeros(cfg.codebook_size, np.float32)
+    for i, (images, _) in enumerate(loader):
+        if i >= args.batches:
+            break
+        x = jnp.asarray(images)
+        recon = jnp.clip(fwd(params, x), 0.0, 1.0)
+        psnrs.append(np.asarray(psnr(recon, jnp.clip(x, 0.0, 1.0))))
+        if perceptual is not None:
+            percs.append(float(perceptual(recon, x)))
+        usage[np.asarray(idx_fn(params, x)).reshape(-1)] = 1.0
+        n += x.shape[0]
+
+    out = {"psnr": round(float(np.concatenate(psnrs).mean()), 3),
+           "codebook_usage": round(float(usage.mean()), 4), "n": n}
+    if percs:
+        out["perceptual"] = round(float(np.mean(percs)), 5)
+    print(json.dumps(out))
+
+
+if __name__ == '__main__':
+    main()

@@ -53,6 +53,17 @@ def test_vq_kernel_tpu_flagship_shape():
     cb = jax.random.normal(kc, (16384, 12), jnp.float32)
     got = jax.jit(lambda z, cb: nearest_code(z, cb, impl="pallas"))(z, cb)
     want = nearest_code_xla(z, cb)
-    match = float(np.mean(np.asarray(got) == np.asarray(want)))
-    # fp32 vs fp32 tie-breaking differences only; require near-exact agreement
-    assert match > 0.9999, match
+    got_np, want_np = np.asarray(got), np.asarray(want)
+    match = float(np.mean(got_np == want_np))
+    assert match > 0.999, match
+    # any disagreements must be genuine numerical near-ties: the two chosen codes
+    # sit at (floating-point-)identical distance from z
+    if match < 1.0:
+        zn = np.asarray(z, np.float64)
+        zn /= np.linalg.norm(zn, axis=-1, keepdims=True)
+        cn = np.asarray(cb, np.float64)
+        cn /= np.linalg.norm(cn, axis=-1, keepdims=True)
+        bad = np.nonzero(got_np != want_np)[0]
+        d_got = np.sum((zn[bad] - cn[got_np[bad]]) ** 2, -1)
+        d_want = np.sum((zn[bad] - cn[want_np[bad]]) ** 2, -1)
+        np.testing.assert_allclose(d_got, d_want, atol=1e-5)

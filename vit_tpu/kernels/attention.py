@@ -55,10 +55,13 @@ def _fa_kernel(q_ref, kt_ref, v_ref, o_ref, *, scale: float, causal: bool,
     sp = kt.shape[1]
     bq = q.shape[0]
 
+    # fp32 inputs get true-fp32 matmuls (multi-pass); bf16 inputs use the native
+    # single-pass MXU path (Mosaic rejects forced-fp32 contraction of bf16 operands).
+    prec = jax.lax.Precision.HIGHEST if q.dtype == jnp.float32 else None
     s = jax.lax.dot_general(
         q, kt,
         dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.float32, precision=prec,
     ) * scale                          # (BQ, Sp) fp32
 
     col = jax.lax.broadcasted_iota(jnp.int32, (bq, sp), dimension=1)
@@ -75,7 +78,7 @@ def _fa_kernel(q_ref, kt_ref, v_ref, o_ref, *, scale: float, causal: bool,
     o = jax.lax.dot_general(
         p.astype(v.dtype), v,
         dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.float32, precision=prec,
     ) / l
     o_ref[0] = o.astype(o_ref.dtype)
 
@@ -149,8 +152,10 @@ def _fa_bwd_kernel(q_ref, kt_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *,
     do = do_ref[0]                     # (Sp, D)
     sp = q.shape[0]
 
+    prec = jax.lax.Precision.HIGHEST if q.dtype == jnp.float32 else None
     s = jax.lax.dot_general(q, kt, (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32) * scale
+                            preferred_element_type=jnp.float32,
+                            precision=prec) * scale
     col = jax.lax.broadcasted_iota(jnp.int32, (sp, sp), dimension=1)
     valid = col < seq_len
     if causal:
@@ -165,18 +170,18 @@ def _fa_bwd_kernel(q_ref, kt_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *,
     pc = p.astype(v.dtype)
     dv = jax.lax.dot_general(jnp.swapaxes(pc, 0, 1), do,
                              (((1,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32)
+                             preferred_element_type=jnp.float32, precision=prec)
     dp = jax.lax.dot_general(do, jnp.swapaxes(v, 0, 1),
                              (((1,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32)
+                             preferred_element_type=jnp.float32, precision=prec)
     delta = jnp.sum(p * dp, axis=-1, keepdims=True)
     ds = (p * (dp - delta) * scale).astype(q.dtype)
     dq = jax.lax.dot_general(ds, jnp.swapaxes(kt, 0, 1),
                              (((1,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32)
+                             preferred_element_type=jnp.float32, precision=prec)
     dk = jax.lax.dot_general(jnp.swapaxes(ds, 0, 1), q,
                              (((1,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32)
+                             preferred_element_type=jnp.float32, precision=prec)
     dq_ref[0] = dq.astype(dq_ref.dtype)
     dk_ref[0] = dk.astype(dk_ref.dtype)
     dv_ref[0] = dv.astype(dv_ref.dtype)

@@ -40,10 +40,12 @@ def _vq_kernel(z_ref, et_ref, idx_ref, *, l2_normalize: bool, n_codes: int):
     if l2_normalize:
         z = z * jax.lax.rsqrt(jnp.sum(z * z, axis=-1, keepdims=True) + 1e-24)
         et = et * jax.lax.rsqrt(jnp.sum(et * et, axis=0, keepdims=True) + 1e-24)
-        scores = jnp.dot(z, et, preferred_element_type=jnp.float32)
+        scores = jnp.dot(z, et, preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)
     else:
         # un-normalized: minimize ‖z‖² − 2z·e + ‖e‖² ⇔ maximize z·e − ‖e‖²/2
-        scores = jnp.dot(z, et, preferred_element_type=jnp.float32)
+        scores = jnp.dot(z, et, preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)
         scores = scores - 0.5 * jnp.sum(et * et, axis=0, keepdims=True)
     bn, c = scores.shape
     col = jax.lax.broadcasted_iota(jnp.int32, (bn, c), dimension=1)
@@ -60,7 +62,7 @@ def nearest_code_xla(z: jax.Array, codebook: jax.Array, *,
         z = z / jnp.maximum(jnp.linalg.norm(z, axis=-1, keepdims=True), 1e-12)
         e = e / jnp.maximum(jnp.linalg.norm(e, axis=-1, keepdims=True), 1e-12)
     d = (jnp.sum(z * z, -1, keepdims=True) + jnp.sum(e * e, -1)[None]
-         - 2.0 * z @ e.T)
+         - 2.0 * jnp.matmul(z, e.T, precision=jax.lax.Precision.HIGHEST))
     return jnp.argmin(d, axis=-1).astype(jnp.int32)
 
 

@@ -41,7 +41,9 @@ def attention_xla(
     d = q.shape[-1]
     scale = (d ** -0.5) if scale is None else scale
     # fp32 islands for the softmax chain regardless of compute dtype.
-    s = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+    prec = jax.lax.Precision.HIGHEST if q.dtype == jnp.float32 else None
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32,
+                   precision=prec)
     s = s * scale
     if causal:
         q_len, k_len = q.shape[-2], k.shape[-2]
@@ -58,7 +60,7 @@ def attention_xla(
         keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, p.shape)
         p = jnp.where(keep, p / (1.0 - dropout_rate), 0.0)
     out = jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v,
-                     preferred_element_type=jnp.float32)
+                     preferred_element_type=jnp.float32, precision=prec)
     return out.astype(q.dtype)
 
 
