@@ -18,7 +18,7 @@ TPU-native aspects:
 
 from __future__ import annotations
 
-from functools import partial
+
 
 import jax
 import jax.numpy as jnp

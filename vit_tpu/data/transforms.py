@@ -9,7 +9,7 @@ part 4): PIL's antialiased bilinear resize is the same operator torchvision uses
 
 from __future__ import annotations
 
-from typing import Tuple
+
 
 import numpy as np
 from PIL import Image

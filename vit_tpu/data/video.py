@@ -16,7 +16,7 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-from vit_tpu.data.loader import DataLoader, default_collate
+from vit_tpu.data.loader import DataLoader
 
 
 def _require_dir(path: Optional[str], what: str) -> Path:

@@ -15,7 +15,7 @@ ImageNet weights cannot be materialized here. The module supports
 
 from __future__ import annotations
 
-from pathlib import Path
+
 from typing import Sequence
 
 import jax

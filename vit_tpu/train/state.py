@@ -7,7 +7,7 @@ unnecessary (the reference's AMP machinery is a CUDA fp16-ism).
 
 from __future__ import annotations
 
-from typing import Any, Callable
+from typing import Any
 
 import jax
 import optax
