@@ -102,3 +102,37 @@ def test_params_physically_sharded():
     # (32, 96) sharded ("fsdp","model") → each device holds (16, 48)
     shard_shapes = {s.data.shape for s in qkv.addressable_shards}
     assert shard_shapes == {(16, 48)}
+
+
+@pytest.mark.parametrize("attn_impl", ["xla", "pallas"])
+def test_shard_map_dp_step_matches_single_device(attn_impl):
+    """Pallas-kernels-per-shard DP step (parallel/shard_step.py): numerics must match
+    the single-device step — including with the Pallas attention kernel running on
+    each local shard (the composition plain GSPMD can't partition)."""
+    from vit_tpu.parallel.shard_step import make_dp_tokenizer_train_step
+    from jax.sharding import Mesh
+
+    model, cfg = tiny_model()
+    for name in ("enc_vit_config", "dec_vit_config"):
+        sub = getattr(cfg, name)
+        sub.trans_config = sub.trans_config.replace(attn_impl=attn_impl)
+    images = jax.random.uniform(jax.random.PRNGKey(0), (8, 16, 16, 3))
+    usage = jnp.zeros((cfg.codebook_size,), jnp.float32)
+    rng = jax.random.PRNGKey(7)
+
+    state1 = _make_state(model, images)
+    s1, u1, m1, _ = jax.jit(make_tokenizer_train_step(model))(
+        state1, images, usage, rng)
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(8), ("data",))
+    step = make_dp_tokenizer_train_step(model, mesh)
+    state2 = _make_state(model, images)
+    with mesh:
+        s2, u2, m2, _ = step(state2, images, usage, rng)
+
+    np.testing.assert_allclose(float(m1["train/loss"]), float(m2["train/loss"]),
+                               rtol=2e-5)
+    np.testing.assert_array_equal(np.asarray(u1), np.asarray(u2))
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(jax.device_get(s2.params))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5)
