@@ -64,3 +64,55 @@ def test_dropout_attention_runs_and_is_stochastic():
                          dropout_rng=jax.random.PRNGKey(43))
     assert out1.shape == q.shape
     assert not np.allclose(np.asarray(out1), np.asarray(out2))
+
+
+class TestInKernelDropout:
+    """Fused in-kernel attention dropout (pallas path)."""
+
+    def _qkv(self, s=24, d=8):
+        return _rand_qkv(jax.random.PRNGKey(5), b=1, h=2, s=s, d=d)
+
+    def test_deterministic_per_key_and_stochastic_across_keys(self):
+        q, k, v = self._qkv()
+        rng = jax.random.PRNGKey(0)
+        f = lambda r: flash_attention(q, k, v, dropout_rate=0.3, dropout_rng=r)
+        a1, a2 = f(rng), f(rng)
+        np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
+        b = f(jax.random.PRNGKey(1))
+        assert not np.allclose(np.asarray(a1), np.asarray(b))
+
+    def test_unbiased_in_expectation(self):
+        q, k, v = self._qkv()
+        base = flash_attention(q, k, v)
+        outs = [np.asarray(flash_attention(q, k, v, dropout_rate=0.3,
+                                           dropout_rng=jax.random.PRNGKey(i)))
+                for i in range(64)]
+        mean = np.mean(outs, axis=0)
+        err = np.abs(mean - np.asarray(base)).mean()
+        scale = np.abs(np.asarray(base)).mean()
+        assert err < 0.15 * scale, (err, scale)
+
+    def test_gradient_matches_finite_differences(self):
+        q, k, v = self._qkv(s=10, d=8)
+        rng = jax.random.PRNGKey(3)
+
+        def loss(q_, k_, v_):
+            out = flash_attention(q_, k_, v_, causal=True, dropout_rate=0.25,
+                                  dropout_rng=rng)
+            return jnp.sum(out * jnp.cos(out * 0.1))
+
+        g = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+        eps = 1e-3
+        rng2 = np.random.default_rng(0)
+        for argi, (arr, grad) in enumerate(zip((q, k, v), g)):
+            for _ in range(4):
+                idx = tuple(rng2.integers(0, s) for s in arr.shape)
+                delta = np.zeros(arr.shape, np.float32)
+                delta[idx] = eps
+                args_p = [q, k, v]
+                args_m = [q, k, v]
+                args_p[argi] = arr + delta
+                args_m[argi] = arr - delta
+                fd = (float(loss(*args_p)) - float(loss(*args_m))) / (2 * eps)
+                np.testing.assert_allclose(float(np.asarray(grad)[idx]), fd,
+                                           atol=2e-2, rtol=2e-2)

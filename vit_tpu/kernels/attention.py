@@ -43,11 +43,34 @@ def _ceil_to(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _fa_kernel(q_ref, kt_ref, v_ref, o_ref, *, scale: float, causal: bool,
-               seq_len: int, block_q: int):
+def _dropout_mask(seed_ref, shape, rate: float):
+    """Deterministic per-(batch·head) dropout keep-mask scaled by 1/keep (fp32).
+
+    Counter-based (murmur3-finalizer over position iota ⊕ seed ⊕ program id) rather
+    than pltpu.prng_* so the identical stream exists in compiled AND interpret mode
+    (CPU tests) and the backward kernel regenerates it exactly. Dropout is only fused
+    when the whole sequence is one q block, so grid dim 0 identifies the mask."""
+    r = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
+    c = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
+    x = r * jnp.uint32(shape[1]) + c
+    x = x ^ (seed_ref[0].astype(jnp.uint32) * jnp.uint32(0x9E3779B9))
+    x = x + pl.program_id(0).astype(jnp.uint32) * jnp.uint32(0x85EBCA6B)
+    x = x ^ (x >> 16)
+    x = x * jnp.uint32(0x85EBCA6B)
+    x = x ^ (x >> 13)
+    x = x * jnp.uint32(0xC2B2AE35)
+    x = x ^ (x >> 16)
+    keep = x >= jnp.uint32(int(rate * 0xFFFFFFFF))
+    return jnp.where(keep, 1.0 / (1.0 - rate), 0.0).astype(jnp.float32)
+
+
+def _fa_kernel(q_ref, kt_ref, v_ref, seed_ref, o_ref, *, scale: float,
+               causal: bool, seq_len: int, block_q: int, dropout_rate: float):
     """One q-block of fused attention. Shapes: q (1,BQ,D), kᵀ (1,D,Sp), v (1,Sp,D),
     o (1,BQ,D). K is pre-transposed so the QKᵀ contraction is a standard (M,K)×(K,N)
-    MXU matmul (Mosaic rejects a bf16 dim-1×dim-1 contraction)."""
+    MXU matmul (Mosaic rejects a bf16 dim-1×dim-1 contraction). With dropout_rate>0
+    the post-softmax probabilities are dropped in-kernel (torch SDPA semantics,
+    reference transformer.py:28) using the on-core PRNG."""
     iq = pl.program_id(1)
     q = q_ref[0]                      # (BQ, D)
     kt = kt_ref[0]                    # (D, Sp)
@@ -75,6 +98,9 @@ def _fa_kernel(q_ref, kt_ref, v_ref, o_ref, *, scale: float, causal: bool,
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)                 # masked entries: exp(neg - m) ≈ 0
     l = jnp.sum(p, axis=-1, keepdims=True)
+    if dropout_rate > 0.0:
+        # D∘(p/l) = (D∘p)/l — drop before the PV matmul, keep the normalizer
+        p = p * _dropout_mask(seed_ref, (bq, sp), dropout_rate)
     o = jax.lax.dot_general(
         p.astype(v.dtype), v,
         dimension_numbers=(((1,), (0,)), ((), ())),
@@ -83,7 +109,8 @@ def _fa_kernel(q_ref, kt_ref, v_ref, o_ref, *, scale: float, causal: bool,
     o_ref[0] = o.astype(o_ref.dtype)
 
 
-def _flash_attention_fwd_impl(q, k, v, causal: bool):
+def _flash_attention_fwd_impl(q, k, v, seed, causal: bool,
+                              dropout_rate: float):
     b, h, s, d = q.shape
     scale = 1.0 / math.sqrt(d)
     if s <= 512:
@@ -107,7 +134,7 @@ def _flash_attention_fwd_impl(q, k, v, causal: bool):
 
     out = pl.pallas_call(
         functools.partial(_fa_kernel, scale=scale, causal=causal,
-                          seq_len=s, block_q=block_q),
+                          seq_len=s, block_q=block_q, dropout_rate=dropout_rate),
         grid=(b * h, n_q),
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda bh, iq: (bh, iq, 0),
@@ -116,6 +143,7 @@ def _flash_attention_fwd_impl(q, k, v, causal: bool):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, sp, d), lambda bh, iq: (bh, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((1, block_q, d), lambda bh, iq: (bh, iq, 0),
                                memory_space=pltpu.VMEM),
@@ -126,12 +154,13 @@ def _flash_attention_fwd_impl(q, k, v, causal: bool):
             transcendentals=b * h * sp * sp,
         ),
         interpret=interpret,
-    )(qf, ktf, vf)
+    )(qf, ktf, vf, seed)
     return out[:, :s, :].reshape(b, h, s, d)
 
 
-def _fa_bwd_kernel(q_ref, kt_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *,
-                   scale: float, causal: bool, seq_len: int):
+def _fa_bwd_kernel(q_ref, kt_ref, v_ref, do_ref, seed_ref, dq_ref, dk_ref,
+                   dv_ref, *, scale: float, causal: bool, seq_len: int,
+                   dropout_rate: float):
     """Fused attention backward, one (batch, head) per program; full sequence in
     VMEM (profile-driven: the XLA rematerialized backward ran at ~28 TF/s because
     every (S,S) intermediate round-tripped HBM; here p/dp/ds never leave VMEM).
@@ -167,13 +196,21 @@ def _fa_bwd_kernel(q_ref, kt_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *,
     l = jnp.sum(p, axis=-1, keepdims=True)
     p = p / l                          # true probabilities (Sp, Sp) fp32
 
-    pc = p.astype(v.dtype)
+    if dropout_rate > 0.0:
+        # regenerate the forward mask (same seed + program id)
+        dmask = _dropout_mask(seed_ref, (sp, sp), dropout_rate)
+        p_eff = p * dmask              # p̃ = D∘p_norm, the effective forward probs
+    else:
+        p_eff = p
+    pc = p_eff.astype(v.dtype)
     dv = jax.lax.dot_general(jnp.swapaxes(pc, 0, 1), do,
                              (((1,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32, precision=prec)
     dp = jax.lax.dot_general(do, jnp.swapaxes(v, 0, 1),
                              (((1,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32, precision=prec)
+    if dropout_rate > 0.0:
+        dp = dp * dmask                # dL/dp_norm = D∘(do·vᵀ)
     delta = jnp.sum(p * dp, axis=-1, keepdims=True)
     ds = (p * (dp - delta) * scale).astype(q.dtype)
     dq = jax.lax.dot_general(ds, jnp.swapaxes(kt, 0, 1),
@@ -191,7 +228,8 @@ def _fa_bwd_kernel(q_ref, kt_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *,
 _MAX_FUSED_BWD_SEQ = 768
 
 
-def _flash_attention_bwd_impl(q, k, v, g, causal: bool):
+def _flash_attention_bwd_impl(q, k, v, g, seed, causal: bool,
+                              dropout_rate: float):
     b, h, s, d = q.shape
     scale = 1.0 / math.sqrt(d)
     sp = _ceil_to(s, _SUBLANE)
@@ -208,9 +246,11 @@ def _flash_attention_bwd_impl(q, k, v, g, causal: bool):
     kt_spec = pl.BlockSpec((1, d, sp), lambda bh: (bh, 0, 0),
                            memory_space=pltpu.VMEM)
     dq, dk, dv = pl.pallas_call(
-        functools.partial(_fa_bwd_kernel, scale=scale, causal=causal, seq_len=s),
+        functools.partial(_fa_bwd_kernel, scale=scale, causal=causal, seq_len=s,
+                          dropout_rate=dropout_rate),
         grid=(b * h,),
-        in_specs=[spec, kt_spec, spec, spec],
+        in_specs=[spec, kt_spec, spec, spec,
+                  pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_specs=(spec, spec, spec),
         out_shape=tuple(jax.ShapeDtypeStruct((b * h, sp, d), q.dtype)
                         for _ in range(3)),
@@ -220,7 +260,7 @@ def _flash_attention_bwd_impl(q, k, v, g, causal: bool):
             transcendentals=b * h * sp * sp,
         ),
         interpret=interpret,
-    )(qf, ktf, vf, gf)
+    )(qf, ktf, vf, gf, seed)
 
     def unprep(x):
         return x[:, :s, :].reshape(b, h, s, d)
@@ -228,31 +268,57 @@ def _flash_attention_bwd_impl(q, k, v, g, causal: bool):
     return unprep(dq), unprep(dk), unprep(dv)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def _flash_attention(q, k, v, causal):
-    return _flash_attention_fwd_impl(q, k, v, causal)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _flash_attention(q, k, v, seed, causal, dropout_rate):
+    return _flash_attention_fwd_impl(q, k, v, seed, causal, dropout_rate)
 
 
-def _fa_fwd(q, k, v, causal):
-    return _flash_attention_fwd_impl(q, k, v, causal), (q, k, v)
+def _fa_fwd(q, k, v, seed, causal, dropout_rate):
+    return (_flash_attention_fwd_impl(q, k, v, seed, causal, dropout_rate),
+            (q, k, v, seed))
 
 
-def _fa_bwd(causal, res, g):
-    q, k, v = res
+def _fa_bwd(causal, dropout_rate, res, g):
+    import numpy as np
+
+    q, k, v, seed = res
+    seed_grad = np.zeros(seed.shape, jax.dtypes.float0)
     if q.shape[-2] > _MAX_FUSED_BWD_SEQ:
-        # Rematerialized XLA backward for long sequences (VMEM bound).
+        # Rematerialized XLA backward for long sequences (VMEM bound; the fused
+        # kernel also loses to XLA here — measured at S=1024). Dropout never takes
+        # this branch (fused dropout is gated to single-q-block sizes).
+        assert dropout_rate == 0.0
         _, vjp = jax.vjp(lambda q_, k_, v_: attention_xla(q_, k_, v_, causal=causal),
                          q, k, v)
-        return vjp(g)
-    return _flash_attention_bwd_impl(q, k, v, g, causal)
+        return (*vjp(g), seed_grad)
+    dq, dk, dv = _flash_attention_bwd_impl(q, k, v, g, seed, causal, dropout_rate)
+    return dq, dk, dv, seed_grad
 
 
 _flash_attention.defvjp(_fa_fwd, _fa_bwd)
 
+_ZERO_SEED = None
+
 
 def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
-                    causal: bool = False) -> jax.Array:
-    """Fused attention. q,k,v: (B, H, S, D) -> (B, H, S, D)."""
-    if q.shape[-2] > _MAX_FUSED_SEQ:
+                    causal: bool = False, dropout_rate: float = 0.0,
+                    dropout_rng: "jax.Array | None" = None) -> jax.Array:
+    """Fused attention. q,k,v: (B, H, S, D) -> (B, H, S, D).
+
+    dropout_rate > 0 applies in-kernel dropout to the attention probabilities
+    (requires dropout_rng; supported when S fits one q block, i.e. S ≤ 512 —
+    otherwise the caller should use the XLA path)."""
+    s = q.shape[-2]
+    if dropout_rate > 0.0:
+        if dropout_rng is None:
+            raise ValueError("dropout_rate > 0 requires dropout_rng")
+        if s > 512 or s > _MAX_FUSED_BWD_SEQ:
+            return attention_xla(q, k, v, causal=causal,
+                                 dropout_rate=dropout_rate,
+                                 dropout_rng=dropout_rng)
+        seed = jax.random.randint(dropout_rng, (1,), 0, 2 ** 31 - 1, jnp.int32)
+        return _flash_attention(q, k, v, seed, causal, dropout_rate)
+    if s > _MAX_FUSED_SEQ:
         return attention_xla(q, k, v, causal=causal)
-    return _flash_attention(q, k, v, causal)
+    seed = jnp.zeros((1,), jnp.int32)
+    return _flash_attention(q, k, v, seed, causal, 0.0)

@@ -67,10 +67,7 @@ def attention_xla(
 def _pick_impl(impl: Optional[str], dropout_rate: float) -> str:
     if impl in ("xla", "pallas"):
         return impl
-    # Auto: pallas on TPU for the dropout-free path (tokenizer/AR training, inference);
-    # xla otherwise. In-kernel dropout is a planned round-2 optimization.
-    if dropout_rate > 0.0:
-        return "xla"
+    # Auto: pallas on TPU (with in-kernel dropout support); xla on CPU.
     try:
         platform = jax.devices()[0].platform
     except RuntimeError:
@@ -93,7 +90,9 @@ def multi_head_attention(
     if chosen == "pallas":
         from vit_tpu.kernels.attention import flash_attention
 
-        return flash_attention(q, k, v, causal=causal)
+        return flash_attention(q, k, v, causal=causal,
+                               dropout_rate=dropout_rate,
+                               dropout_rng=dropout_rng)
     return attention_xla(
         q, k, v, causal=causal, dropout_rate=dropout_rate, dropout_rng=dropout_rng
     )
