@@ -297,8 +297,6 @@ def _fa_bwd(causal, dropout_rate, res, g):
 
 _flash_attention.defvjp(_fa_fwd, _fa_bwd)
 
-_ZERO_SEED = None
-
 
 def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
                     causal: bool = False, dropout_rate: float = 0.0,

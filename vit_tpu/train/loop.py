@@ -10,7 +10,7 @@ every ``image_every`` steps log input/recon grids and reset the usage bitmap.
 from __future__ import annotations
 
 import time
-from typing import Callable, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -38,8 +38,7 @@ def build_perceptual(args, dtype):
 def run_tokenizer_training(args, model, model_config, train_loader, *,
                            project_name: str, run_name: str,
                            codebook_size: int, pixel_loss: str,
-                           perceptual_weight: Optional[float] = None,
-                           make_images: Optional[Callable] = None):
+                           perceptual_weight: Optional[float] = None):
     """Generic tokenizer loop. ``args`` must carry the reference CLI fields
     (lr, warmup_steps, train_steps, min_lr, weight_decay, epochs, ...)."""
     dtype = jnp.bfloat16 if args.mixed else jnp.float32
