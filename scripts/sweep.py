@@ -7,7 +7,7 @@ metric back from the run's JSONL (vit_tpu/utils/logging.py), and reports the bes
 The YAMLs stay wandb-compatible — with wandb installed, `wandb sweep <yaml>` works
 unchanged.
 
-Usage: python scripts/sweep.py sweeps/vit_sweep.yaml [--dry_run] [--extra_args ...]
+Usage: python scripts/sweep.py sweeps/vit_sweep.yaml [--dry_run] [extra args passed through]
 """
 
 from __future__ import annotations
@@ -48,19 +48,22 @@ def build_command(sweep: dict, combo: dict, extra_args):
     return cmd + list(extra_args)
 
 
-def last_metric(jsonl_dir: Path, metric: str):
-    """Best metric value across all run JSONLs modified during this sweep run."""
-    best = None
+def last_metric(jsonl_dir: Path, metric: str, since: float = 0.0):
+    """Last value of `metric` across run JSONLs modified after `since`."""
+    value = None
+    if not jsonl_dir.exists():
+        return None
     for path in jsonl_dir.rglob("*.jsonl"):
+        if path.stat().st_mtime < since:
+            continue
         for line in path.read_text().splitlines():
             try:
                 rec = json.loads(line)
             except json.JSONDecodeError:
                 continue
             if metric in rec:
-                v = rec[metric]
-                best = v if best is None else v
-    return best
+                value = rec[metric]
+    return value
 
 
 def main():
@@ -68,8 +71,8 @@ def main():
     parser.add_argument("sweep_yaml", type=str)
     parser.add_argument("--dry_run", action="store_true")
     parser.add_argument("--runs_dir", type=str, default="runs")
-    parser.add_argument("extra_args", nargs="*", default=[])
-    args = parser.parse_args()
+    args, extra = parser.parse_known_args()
+    args.extra_args = extra           # anything unrecognized passes through
 
     sweep = yaml.safe_load(Path(args.sweep_yaml).read_text())
     metric = sweep["metric"]["name"]
@@ -83,8 +86,11 @@ def main():
         print(f"[{i + 1}/{len(combos)}] {' '.join(cmd)}")
         if args.dry_run:
             continue
+        import time
+
+        t0 = time.time()
         res = subprocess.run(cmd)
-        value = last_metric(Path(args.runs_dir), metric)
+        value = last_metric(Path(args.runs_dir), metric, since=t0 - 1)
         results.append((combo, value, res.returncode))
         print(f"    -> {metric}={value} (exit {res.returncode})")
 

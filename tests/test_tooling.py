@@ -1,0 +1,111 @@
+"""Tooling coverage: sweep runner grid expansion + execution, config roundtrip,
+metrics logger fallback."""
+
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).parent.parent
+sys.path.insert(0, str(REPO / "scripts"))
+
+
+def test_sweep_grid_expansion_matches_wandb_semantics():
+    from sweep import build_command, expand_grid
+
+    params = {"lr": {"values": [1e-3, 1e-4]}, "dropout": {"values": [0.0, 0.1]},
+              "image_size": {"value": 32}}
+    combos = list(expand_grid(params))
+    assert len(combos) == 4
+    assert all(c["image_size"] == 32 for c in combos)
+    sweep = {"program": "train_vit.py",
+             "command": ["python", "${program}", "--dataset", "synthetic",
+                         "${args}"]}
+    cmd = build_command(sweep, combos[0], ["--no_wandb"])
+    assert cmd[1] == "train_vit.py"
+    assert "--dataset" in cmd and "--lr" in cmd and "--no_wandb" in cmd
+
+
+def test_sweep_runner_executes_and_reports_best(tmp_path):
+    sweep_yaml = tmp_path / "tiny_sweep.yaml"
+    sweep_yaml.write_text("""
+program: train_vit.py
+method: grid
+metric:
+  name: valid/acc
+  goal: maximize
+parameters:
+  lr:
+    values: [1e-3]
+command:
+  - python
+  - ${program}
+  - --dataset
+  - "synthetic"
+  - --image_size
+  - "32"
+  - --patch_size
+  - "8"
+  - --transformer
+  - "S"
+  - --num_classes
+  - "4"
+  - --bs
+  - "8"
+  - --epochs
+  - "1"
+  - --steps_per_epoch
+  - "4"
+  - --dropout
+  - "0.0"
+  - --mixed
+  - ""
+  - --warmup_steps
+  - "2"
+  - --train_steps
+  - "50"
+  - ${args}
+""")
+    env = {"JAX_PLATFORMS": "cpu", "PATH": "/usr/bin:/bin:/usr/local/bin",
+           "HOME": "/root"}
+    res = subprocess.run(
+        [sys.executable, "scripts/sweep.py", str(sweep_yaml),
+         "--ckpt_dir", str(tmp_path / "ckpt")],
+        capture_output=True, text=True, cwd=REPO, env=env, timeout=600)
+    assert res.returncode == 0, res.stderr[-1500:]
+    assert "BEST: valid/acc=" in res.stdout, res.stdout[-800:]
+
+
+def test_config_dataclass_roundtrip():
+    from vit_tpu.models.titok import TiTokConfig
+    from vit_tpu.train.checkpoint import _config_to_dict
+    from vit_tpu.utils.config import dataclass_from_dict
+
+    cfg = TiTokConfig(64, 8, 32, 256, 12, "S")
+    d = _config_to_dict(cfg)
+    assert json.dumps(d)  # serializable
+    cfg2 = dataclass_from_dict(TiTokConfig, d)
+    cfg2.__post_init__()
+    assert (cfg2.image_size, cfg2.patch_size, cfg2.latent_tokens,
+            cfg2.codebook_size) == (64, 8, 32, 256)
+    assert cfg2.n_patches == cfg.n_patches
+    assert (cfg2.enc_vit_config.trans_config.n_embd
+            == cfg.enc_vit_config.trans_config.n_embd)
+
+
+def test_metrics_logger_jsonl_fallback(tmp_path):
+    from vit_tpu.utils.logging import MetricsLogger
+
+    logger = MetricsLogger("proj", "run", config={"lr": 1e-3, "skip": object()},
+                           out_dir=str(tmp_path), use_wandb=False)
+    logger.log({"train/loss": np.float32(1.5)}, step=3)
+    logger.log_images({"img": np.random.rand(2, 8, 8, 3)}, step=3)
+    logger.close()
+    lines = [json.loads(l) for l in
+             (tmp_path / "proj" / "run.jsonl").read_text().splitlines()]
+    assert lines[0]["_config"]["lr"] == 1e-3
+    assert lines[1]["train/loss"] == 1.5 and lines[1]["_step"] == 3
+    pngs = list((tmp_path / "proj" / "run_images").glob("*.png"))
+    assert len(pngs) == 2
