@@ -93,12 +93,21 @@ class Attention(nn.Module):
         return out
 
     def _decode(self, q, k, v, pos):
-        """q,k,v: (B, H, 1, D); pos: int32 scalar position in [0, block_size)."""
+        """q,k,v: (B, H, S, D). S>1 ⇒ PREFILL: full causal attention over positions
+        [pos, pos+S) with the keys/values written into the cache in one shot (the
+        one-forward prime that replaces token-by-token conditioning). S==1 ⇒ one
+        incremental decode step at `pos`."""
         cfg = self.config
-        b, h, _, d = q.shape
+        b, h, s_len, d = q.shape
         shape = (b, h, cfg.block_size, d)
         ck = self.variable("cache", "k", jnp.zeros, shape, cfg.dtype)
         cv = self.variable("cache", "v", jnp.zeros, shape, cfg.dtype)
+        if s_len > 1:
+            ck.value = jax.lax.dynamic_update_slice(
+                ck.value, k.astype(cfg.dtype), (0, 0, pos, 0))
+            cv.value = jax.lax.dynamic_update_slice(
+                cv.value, v.astype(cfg.dtype), (0, 0, pos, 0))
+            return multi_head_attention(q, k, v, causal=True, impl=cfg.attn_impl)
         ck.value = jax.lax.dynamic_update_slice(ck.value, k.astype(cfg.dtype),
                                                 (0, 0, pos, 0))
         cv.value = jax.lax.dynamic_update_slice(cv.value, v.astype(cfg.dtype),

@@ -91,6 +91,17 @@ class VideoGPT(nn.Module):
         h = self.transformer(emb, True, pos)
         return self.proj(h.astype(jnp.float32))[:, 0]
 
+    def prefill(self, tokens) -> jax.Array:
+        """Prime the KV cache with the whole conditioning prefix in ONE causal
+        forward (positions [0, L)). tokens: (B, L) int32. Returns the last
+        position's next-token logits (B, C)."""
+        cfg = self.config
+        length = tokens.shape[1]
+        emb = (jnp.take(self.tok_embed, tokens, axis=0)
+               + self.pos_embed[None, :length]).astype(cfg.trans_config.dtype)
+        h = self.transformer(emb, True, jnp.zeros((), jnp.int32))
+        return self.proj(h[:, -1].astype(jnp.float32))
+
 
 def _cross_entropy(logits, targets):
     logp = jax.nn.log_softmax(logits, axis=-1)
@@ -123,6 +134,17 @@ def generate(model: VideoGPT, params, tokens: jax.Array, n: int) -> jax.Array:
          tokens.astype(jnp.int32),
          jnp.zeros((b, n), jnp.int32)], axis=-1)               # (B, 1 + total)
 
+    # prefill: one causal forward primes the cache over [SOS, cond) and yields the
+    # first generated token (vs the reference's per-token full re-forward,
+    # train_videogpt.py:56-65, and vs per-token cache priming)
+    logits, mutated = model.apply({"params": params, "cache": cache},
+                                  buf[:, :cond_len + 1], method=VideoGPT.prefill,
+                                  mutable=["cache"])
+    cache = mutated["cache"]
+    first = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    buf = jax.lax.dynamic_update_slice_in_dim(buf, first[:, None], cond_len + 1,
+                                              axis=1)
+
     def step(carry, pos):
         buf, cache = carry
         tok = jax.lax.dynamic_slice_in_dim(buf, pos, 1, axis=1)
@@ -130,13 +152,13 @@ def generate(model: VideoGPT, params, tokens: jax.Array, n: int) -> jax.Array:
                                       tok, pos, method=VideoGPT.decode_step,
                                       mutable=["cache"])
         nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)    # (B,)
-        # only overwrite positions we are actually generating
-        write = jnp.where(pos + 1 > cond_len, nxt,
-                          jax.lax.dynamic_slice_in_dim(buf, pos + 1, 1, axis=1)[:, 0])
-        buf = jax.lax.dynamic_update_slice_in_dim(buf, write[:, None], pos + 1, axis=1)
+        buf = jax.lax.dynamic_update_slice_in_dim(buf, nxt[:, None], pos + 1,
+                                                  axis=1)
         return (buf, mutated["cache"]), None
 
-    (buf, _), _ = jax.lax.scan(step, (buf, cache), jnp.arange(total))
+    if n > 1:
+        (buf, _), _ = jax.lax.scan(step, (buf, cache),
+                                   jnp.arange(cond_len + 1, total))
     return buf[:, 1:]
 
 
