@@ -108,3 +108,66 @@ def test_titok_full_forward_golden():
     np.testing.assert_array_equal(np.asarray(indices), idx.numpy())
     np.testing.assert_allclose(float(qloss), want_qloss, rtol=1e-4)
     np.testing.assert_allclose(np.asarray(recon), img.numpy(), atol=TOL, rtol=TOL)
+
+
+def test_vit_classifier_golden():
+    """ViT classifier (reference train_vit.py:47-53): Linear head on token 0 of the
+    full ViT forward — end-to-end parity with the torch reference math."""
+    from vit_tpu.models.vit import ViTClassifier, ViTConfig
+
+    cfg = ViTConfig(16, 3, 4, "S", 2, 0.0, dtype=jnp.float32, attn_impl="xla")
+    cfg.trans_config = cfg.trans_config.replace(n_layers=2, n_heads=2, n_embd=32)
+    model = ViTClassifier(cfg, num_classes=5)
+    x = jax.random.uniform(jax.random.PRNGKey(0), (2, 16, 16, 3))
+    params = model.init(jax.random.PRNGKey(1), x)["params"]
+    logits = model.apply({"params": params}, x)
+
+    xt = torch.from_numpy(np.transpose(np.asarray(x), (0, 3, 1, 2)).copy())
+    tokens = torch_vit_forward(params["vit"], xt, cfg, 32, 2, 2)
+    want = tokens[:, 0] @ torch.from_numpy(
+        np.asarray(params["head"]["kernel"])) \
+        + torch.from_numpy(np.asarray(params["head"]["bias"]))
+    np.testing.assert_allclose(np.asarray(logits), want.numpy(), atol=TOL, rtol=TOL)
+
+
+def test_videogpt_forward_golden():
+    """VideoGPT forward (reference train_videogpt.py:46-55): SOS-shifted token+pos
+    embeddings → causal transformer → projection → next-token CE."""
+    from vit_tpu.models.videogpt import VideoGPT, VideoGPTConfig
+
+    cfg = VideoGPTConfig(4, 16, "S", max_frames=3, dropout=0.0,
+                         dtype=jnp.float32, attn_impl="xla")
+    cfg.trans_config = cfg.trans_config.replace(n_layers=2, n_heads=2, n_embd=32)
+    cfg.n_embd = 32
+    model = VideoGPT(cfg)
+    x = jax.random.randint(jax.random.PRNGKey(0), (2, 3, 4), 0, 16)
+    params = model.init(jax.random.PRNGKey(1), x)["params"]
+    logits, loss = model.apply({"params": params}, x)
+
+    y = torch.from_numpy(np.asarray(x)).reshape(2, -1)
+    sos = torch.full((2, 1), 16, dtype=torch.long)
+    inp = torch.cat([sos, y[:, :-1]], dim=-1)
+    t = torch.from_numpy(np.asarray(params["tok_embed"]))[inp] \
+        + torch.from_numpy(np.asarray(params["pos_embed"]))[:12]
+    n_embd, n_heads = 32, 2
+    for i in range(2):
+        lp = params["transformer"][f"layer_{i}"]
+        h = F.layer_norm(t, (n_embd,))
+        qkv = h @ torch.from_numpy(np.asarray(lp["attn"]["qkv"]["kernel"])) \
+            + torch.from_numpy(np.asarray(lp["attn"]["qkv"]["bias"]))
+        b, n, _ = qkv.shape
+        qkv = qkv.view(b, n, 3, n_heads, n_embd // n_heads).permute(2, 0, 3, 1, 4)
+        attn = F.scaled_dot_product_attention(qkv[0], qkv[1], qkv[2], is_causal=True)
+        t = t + attn.permute(0, 2, 1, 3).reshape(b, n, n_embd)
+        h = F.layer_norm(t, (n_embd,))
+        h = F.gelu(h @ torch.from_numpy(np.asarray(lp["mlp"]["fc1"]["kernel"]))
+                   + torch.from_numpy(np.asarray(lp["mlp"]["fc1"]["bias"])))
+        t = t + (h @ torch.from_numpy(np.asarray(lp["mlp"]["fc2"]["kernel"]))
+                 + torch.from_numpy(np.asarray(lp["mlp"]["fc2"]["bias"])))
+    want_logits = t @ torch.from_numpy(np.asarray(params["proj"]["kernel"])) \
+        + torch.from_numpy(np.asarray(params["proj"]["bias"]))
+    want_loss = F.cross_entropy(want_logits.reshape(-1, 16), y.reshape(-1))
+
+    np.testing.assert_allclose(np.asarray(logits), want_logits.numpy(),
+                               atol=TOL, rtol=TOL)
+    np.testing.assert_allclose(float(loss), float(want_loss), rtol=1e-4)
