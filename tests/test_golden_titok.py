@@ -144,7 +144,7 @@ def test_videogpt_forward_golden():
     params = model.init(jax.random.PRNGKey(1), x)["params"]
     logits, loss = model.apply({"params": params}, x)
 
-    y = torch.from_numpy(np.asarray(x)).reshape(2, -1)
+    y = torch.from_numpy(np.asarray(x)).reshape(2, -1).long()
     sos = torch.full((2, 1), 16, dtype=torch.long)
     inp = torch.cat([sos, y[:, :-1]], dim=-1)
     t = torch.from_numpy(np.asarray(params["tok_embed"]))[inp] \
