@@ -34,6 +34,8 @@ def main():
     parser.add_argument("--steps", type=int, default=20)
     parser.add_argument("--warmup", type=int, default=3)
     parser.add_argument("--no_perceptual", action="store_true")
+    parser.add_argument("--profile_dir", type=str, default=None,
+                        help="capture a jax.profiler trace of 3 timed steps here")
     args = parser.parse_args()
 
     from vit_tpu.losses.perceptual import PerceptualLoss
@@ -70,6 +72,13 @@ def main():
     for _ in range(args.warmup):
         state, usage, metrics, _ = step(state, images, usage, rng)
     float(jax.device_get(metrics["train/loss"]))
+
+    if args.profile_dir:
+        jax.profiler.start_trace(args.profile_dir)
+        for _ in range(3):
+            state, usage, metrics, _ = step(state, images, usage, rng)
+        float(jax.device_get(metrics["train/loss"]))
+        jax.profiler.stop_trace()
 
     t0 = time.perf_counter()
     for _ in range(args.steps):

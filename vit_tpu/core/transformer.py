@@ -26,7 +26,7 @@ from einops import rearrange
 from flax import linen as nn
 
 from vit_tpu.core.config import TransformerConfig
-from vit_tpu.ops.attention import multi_head_attention
+from vit_tpu.ops.attention import fused_qkv_attention, multi_head_attention
 from vit_tpu.utils.init import dense
 
 
@@ -71,22 +71,23 @@ class Attention(nn.Module):
         cfg = self.config
         qkv = dense(3 * cfg.n_embd, cfg.n_embd, dtype=cfg.dtype,
                     param_dtype=cfg.param_dtype, name="qkv")(x)
-        q, k, v = rearrange(qkv, "b n (three h d) -> three b h n d",
-                            three=3, h=cfg.n_heads)
         if decode_pos is not None:
+            q, k, v = rearrange(qkv, "b n (three h d) -> three b h n d",
+                                three=3, h=cfg.n_heads)
             out = self._decode(q, k, v, decode_pos)
+            out = rearrange(out, "b h n d -> b n (h d)")
         else:
             dropout_rate = 0.0 if deterministic else cfg.dropout
             dropout_rng = (self.make_rng("dropout")
                            if dropout_rate > 0.0 else None)
-            out = multi_head_attention(
-                q, k, v,
+            # Packed path: head split/merge via kernel BlockSpecs, no rearranges.
+            out = fused_qkv_attention(
+                qkv, cfg.n_heads,
                 causal=cfg.causal,
                 dropout_rate=dropout_rate,
                 dropout_rng=dropout_rng,
                 impl=cfg.attn_impl,
             )
-        out = rearrange(out, "b h n d -> b n (h d)")
         if cfg.attn_out_proj:
             out = dense(cfg.n_embd, cfg.n_embd, dtype=cfg.dtype,
                         param_dtype=cfg.param_dtype, name="out_proj")(out)
@@ -103,6 +104,13 @@ class Attention(nn.Module):
         ck = self.variable("cache", "k", jnp.zeros, shape, cfg.dtype)
         cv = self.variable("cache", "v", jnp.zeros, shape, cfg.dtype)
         if s_len > 1:
+            # Prefill attends only within the new block, so it is ONLY correct
+            # from position 0 (otherwise queries would ignore the cached prefix
+            # [0, pos)). Require a static int 0 rather than silently miscomputing.
+            if not (isinstance(pos, int) and pos == 0):
+                raise ValueError(
+                    "multi-token decode (prefill) requires static pos=0; "
+                    f"got pos={pos!r} for a {s_len}-token block")
             ck.value = jax.lax.dynamic_update_slice(
                 ck.value, k.astype(cfg.dtype), (0, 0, pos, 0))
             cv.value = jax.lax.dynamic_update_slice(

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 from einops import rearrange
 from flax import linen as nn
 
-from vit_tpu.ops.attention import multi_head_attention
+from vit_tpu.ops.attention import fused_qkv_attention
 
 
 class DropPath(nn.Module):
@@ -89,10 +89,7 @@ class UViTBlock(nn.Module):
             qkv = nn.Dense(3 * module.dim, use_bias=module.qkv_bias,
                            dtype=module.dtype, param_dtype=module.param_dtype,
                            name="qkv")(h.astype(module.dtype))
-            q, k, v = rearrange(qkv, "b n (three h d) -> three b h n d",
-                                three=3, h=module.num_heads)
-            attn = multi_head_attention(q, k, v)
-            attn = rearrange(attn, "b h n d -> b n (h d)")
+            attn = fused_qkv_attention(qkv, module.num_heads)
             attn = nn.Dense(module.dim, dtype=module.dtype,
                             param_dtype=module.param_dtype, name="proj")(attn)
             x = x + DropPath(module.drop_path, name="drop_path1")(

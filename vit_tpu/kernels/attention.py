@@ -43,18 +43,19 @@ def _ceil_to(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _dropout_mask(seed_ref, shape, rate: float):
+def _dropout_mask(seed_ref, hid, shape, rate: float):
     """Deterministic per-(batch·head) dropout keep-mask scaled by 1/keep (fp32).
 
-    Counter-based (murmur3-finalizer over position iota ⊕ seed ⊕ program id) rather
+    Counter-based (murmur3-finalizer over position iota ⊕ seed ⊕ head id) rather
     than pltpu.prng_* so the identical stream exists in compiled AND interpret mode
     (CPU tests) and the backward kernel regenerates it exactly. Dropout is only fused
-    when the whole sequence is one q block, so grid dim 0 identifies the mask."""
+    when the whole sequence is one q block, so ``hid`` (flat batch·head index)
+    identifies the mask."""
     r = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
     c = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
     x = r * jnp.uint32(shape[1]) + c
     x = x ^ (seed_ref[0].astype(jnp.uint32) * jnp.uint32(0x9E3779B9))
-    x = x + pl.program_id(0).astype(jnp.uint32) * jnp.uint32(0x85EBCA6B)
+    x = x + hid.astype(jnp.uint32) * jnp.uint32(0x85EBCA6B)
     x = x ^ (x >> 16)
     x = x * jnp.uint32(0x85EBCA6B)
     x = x ^ (x >> 13)
@@ -100,7 +101,7 @@ def _fa_kernel(q_ref, kt_ref, v_ref, seed_ref, o_ref, *, scale: float,
     l = jnp.sum(p, axis=-1, keepdims=True)
     if dropout_rate > 0.0:
         # D∘(p/l) = (D∘p)/l — drop before the PV matmul, keep the normalizer
-        p = p * _dropout_mask(seed_ref, (bq, sp), dropout_rate)
+        p = p * _dropout_mask(seed_ref, pl.program_id(0), (bq, sp), dropout_rate)
     o = jax.lax.dot_general(
         p.astype(v.dtype), v,
         dimension_numbers=(((1,), (0,)), ((), ())),
@@ -198,7 +199,7 @@ def _fa_bwd_kernel(q_ref, kt_ref, v_ref, do_ref, seed_ref, dq_ref, dk_ref,
 
     if dropout_rate > 0.0:
         # regenerate the forward mask (same seed + program id)
-        dmask = _dropout_mask(seed_ref, (sp, sp), dropout_rate)
+        dmask = _dropout_mask(seed_ref, pl.program_id(0), (sp, sp), dropout_rate)
         p_eff = p * dmask              # p̃ = D∘p_norm, the effective forward probs
     else:
         p_eff = p
@@ -268,13 +269,82 @@ def _flash_attention_bwd_impl(q, k, v, g, seed, causal: bool,
     return unprep(dq), unprep(dk), unprep(dv)
 
 
+# --- GSPMD partitioning rules -----------------------------------------------
+#
+# pallas_call is an opaque custom call GSPMD cannot split — round 1 had to force
+# attn_impl="xla" on the pjit (fsdp/tp) path. These custom_partitioning wrappers
+# declare batch (and head, for the unpacked layout) dims shardable; everything
+# else is replicated per shard and GSPMD inserts any reshards. The kernels then
+# run on local shard shapes inside one pjit program, composing with fsdp/tp
+# parameter sharding. (In-kernel dropout streams are per-LOCAL-shard ids, so
+# batch shards reuse mask streams — statistically harmless, noted for audit.)
+
+from jax.experimental.custom_partitioning import custom_partitioning  # noqa: E402
+
+from vit_tpu.kernels._partition import lead_spec, named  # noqa: E402
+
+
+@functools.lru_cache(maxsize=None)
+def _unpacked_fwd_cp(causal: bool, dropout_rate: float):
+    @custom_partitioning
+    def fwd(q, k, v, seed):
+        return _flash_attention_fwd_impl(q, k, v, seed, causal, dropout_rate)
+
+    def infer(mesh, arg_infos, result_infos):
+        b, h = lead_spec(arg_infos[0], 2)
+        return named(mesh, b, h, None, None)
+
+    def part(mesh, arg_infos, result_infos):
+        b, h = lead_spec(arg_infos[0], 2)
+        qkv_sh = named(mesh, b, h, None, None)
+        arg_sh = (qkv_sh, qkv_sh, qkv_sh, named(mesh, None))
+
+        def lower(q, k, v, seed):
+            return _flash_attention_fwd_impl(q, k, v, seed, causal, dropout_rate)
+
+        return mesh, lower, qkv_sh, arg_sh
+
+    fwd.def_partition(partition=part, infer_sharding_from_operands=infer,
+                      sharding_rule="b h s d, b h t d, b h t d, u -> b h s d")
+    return fwd
+
+
+@functools.lru_cache(maxsize=None)
+def _unpacked_bwd_cp(causal: bool, dropout_rate: float):
+    @custom_partitioning
+    def bwd(q, k, v, g, seed):
+        return _flash_attention_bwd_impl(q, k, v, g, seed, causal, dropout_rate)
+
+    def infer(mesh, arg_infos, result_infos):
+        b, h = lead_spec(arg_infos[0], 2)
+        s = named(mesh, b, h, None, None)
+        return (s, s, s)
+
+    def part(mesh, arg_infos, result_infos):
+        b, h = lead_spec(arg_infos[0], 2)
+        s = named(mesh, b, h, None, None)
+        arg_sh = (s, s, s, s, named(mesh, None))
+
+        def lower(q, k, v, g, seed):
+            return _flash_attention_bwd_impl(q, k, v, g, seed, causal,
+                                             dropout_rate)
+
+        return mesh, lower, (s, s, s), arg_sh
+
+    bwd.def_partition(
+        partition=part, infer_sharding_from_operands=infer,
+        sharding_rule=("b h s d, b h t d, b h t d, b h s d, u "
+                       "-> b h s d, b h t d, b h t d"))
+    return bwd
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
 def _flash_attention(q, k, v, seed, causal, dropout_rate):
-    return _flash_attention_fwd_impl(q, k, v, seed, causal, dropout_rate)
+    return _unpacked_fwd_cp(causal, dropout_rate)(q, k, v, seed)
 
 
 def _fa_fwd(q, k, v, seed, causal, dropout_rate):
-    return (_flash_attention_fwd_impl(q, k, v, seed, causal, dropout_rate),
+    return (_unpacked_fwd_cp(causal, dropout_rate)(q, k, v, seed),
             (q, k, v, seed))
 
 
@@ -291,11 +361,357 @@ def _fa_bwd(causal, dropout_rate, res, g):
         _, vjp = jax.vjp(lambda q_, k_, v_: attention_xla(q_, k_, v_, causal=causal),
                          q, k, v)
         return (*vjp(g), seed_grad)
-    dq, dk, dv = _flash_attention_bwd_impl(q, k, v, g, seed, causal, dropout_rate)
+    dq, dk, dv = _unpacked_bwd_cp(causal, dropout_rate)(q, k, v, g, seed)
     return dq, dk, dv, seed_grad
 
 
 _flash_attention.defvjp(_fa_fwd, _fa_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Packed-QKV attention: consumes the fused QKV projection output directly.
+#
+# Profile-driven (round 2): routing the (B, S, 3D) QKV matmul output through
+# rearrange("b n (three h d) -> three b h n d") cost ~0.7 ms/layer of XLA layout
+# copies + head-split fusions on the flagship step (≈30 ms data formatting +
+# a similar share of loop fusion per profile). Here the head split is done by
+# BlockSpecs instead: the kernel reads qkv reshaped (B, S, 3, D) with one
+# 128-lane column block per head PAIR (head_dim 64 — all S/B/L presets), and
+# writes (B, S, D) directly, so the surrounding matmuls see zero glue.
+# The backward emits dqkv as (B, S, 3, D), whose flat layout bit-matches the
+# packed (B, S, 3D) — the final reshape is free.
+# ---------------------------------------------------------------------------
+
+_LANES = 128
+
+
+def packed_supported(n_heads: int, n_embd: int, seq_len: int,
+                     dropout_rate: float = 0.0) -> bool:
+    """Head pairs must tile the 128-lane dim; fused bwd bounds the seq length."""
+    if n_embd % n_heads:
+        return False
+    d = n_embd // n_heads
+    if _LANES % d or n_embd % _LANES:
+        return False
+    if seq_len > _MAX_FUSED_BWD_SEQ:
+        return False
+    if dropout_rate > 0.0 and seq_len > 512:
+        return False
+    return True
+
+
+def _fa_packed_kernel(q_ref, k_ref, v_ref, seed_ref, o_ref, *, scale: float,
+                      causal: bool, seq_len: int, block_q: int,
+                      dropout_rate: float, head_dim: int, n_heads: int):
+    """One q block × one 128-lane head-pair block.
+    q_ref (1,BQ,L), k_ref/v_ref (1,Sp,L) — three column-block views into the flat
+    (B,Sp,3D) qkv; o_ref (1,BQ,L); L=128."""
+    b = pl.program_id(0)
+    h2 = pl.program_id(1)
+    iq = pl.program_id(2)
+    qp = q_ref[0]                          # (BQ, L)
+    kp = k_ref[0]                          # (Sp, L)
+    vp = v_ref[0]
+    ktp = jnp.swapaxes(kp, 0, 1)           # (L, Sp) — one transpose per pair
+    sp = kp.shape[0]
+    bq = qp.shape[0]
+    hb = _LANES // head_dim
+    prec = jax.lax.Precision.HIGHEST if qp.dtype == jnp.float32 else None
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (bq, sp), dimension=1)
+    valid = col < seq_len
+    if causal:
+        row = jax.lax.broadcasted_iota(jnp.int32, (bq, sp), dimension=0)
+        valid = jnp.logical_and(valid, col <= row + iq * block_q)
+    neg = jnp.finfo(jnp.float32).min
+
+    outs = []
+    for j in range(hb):
+        lo = j * head_dim
+        q = qp[:, lo:lo + head_dim]
+        kt = ktp[lo:lo + head_dim, :]
+        v = vp[:, lo:lo + head_dim]
+        s = jax.lax.dot_general(q, kt, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                                precision=prec) * scale
+        s = jnp.where(valid, s, neg)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        if dropout_rate > 0.0:
+            hid = b * n_heads + h2 * hb + j
+            p = p * _dropout_mask(seed_ref, hid, (bq, sp), dropout_rate)
+        o = jax.lax.dot_general(p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                                precision=prec) / l
+        outs.append(o)
+    o_ref[0] = jnp.concatenate(outs, axis=1).astype(o_ref.dtype)
+
+
+def _packed_fwd_impl(qkv, seed, n_heads: int, causal: bool, dropout_rate: float):
+    b, s, three_d = qkv.shape
+    n_embd = three_d // 3
+    d = n_embd // n_heads
+    scale = 1.0 / math.sqrt(d)
+    h2 = n_embd // _LANES
+    if s <= 512:
+        block_q = sp = _ceil_to(s, _SUBLANE)
+    else:
+        block_q = 512
+        sp = _ceil_to(s, block_q)
+    x = qkv
+    if sp != s:
+        x = jnp.pad(x, ((0, 0), (0, sp - s), (0, 0)))
+    n_q = sp // block_q
+    interpret = jax.default_backend() != "tpu"
+
+    # Column-block views into the flat (B, Sp, 3D) qkv: 3D = 3·h2 blocks of 128
+    # lanes; q pair h at block h, k at h2+h, v at 2·h2+h. (Mosaic requires the
+    # last two BLOCK dims divisible by (8, 128) — a 4D (B,S,3,D) view with a
+    # unit block over the size-3 axis is rejected, the flat layout is not.)
+    out = pl.pallas_call(
+        functools.partial(_fa_packed_kernel, scale=scale, causal=causal,
+                          seq_len=s, block_q=block_q, dropout_rate=dropout_rate,
+                          head_dim=d, n_heads=n_heads),
+        grid=(b, h2, n_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, _LANES), lambda b, h, iq: (b, iq, h),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sp, _LANES),
+                         lambda b, h, iq, h2=h2: (b, 0, h2 + h),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sp, _LANES),
+                         lambda b, h, iq, h2=h2: (b, 0, 2 * h2 + h),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, _LANES), lambda b, h, iq: (b, iq, h),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, sp, n_embd), qkv.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * n_heads * sp * sp * d,
+            bytes_accessed=4 * b * sp * n_embd * qkv.dtype.itemsize,
+            transcendentals=b * n_heads * sp * sp,
+        ),
+        interpret=interpret,
+    )(x, x, x, seed)
+    return out[:, :s, :] if sp != s else out
+
+
+def _fa_packed_bwd_kernel(q_ref, k_ref, v_ref, do_ref, seed_ref, dqkv_ref, *,
+                          scale: float, causal: bool, seq_len: int,
+                          dropout_rate: float, head_dim: int, n_heads: int):
+    """One (batch, head-pair) per program; full sequence in VMEM.
+    q/k/v (1,Sp,L) flat-qkv column views, do (1,Sp,L) → dqkv (1,Sp,3D) written
+    via 128-aligned dynamic lane stores into a block that is REVISITED across the
+    inner head-pair grid dim (constant index map → stays VMEM-resident, one HBM
+    writeback per batch row). Measured: a (B,S,3,D) 4-D output got a T(4,128)
+    layout and cost 1.9× (147.9 → 79.0 ms on the flagship shape); three separate
+    outputs + XLA concat was 1.26× (99.8 ms). Same math as _fa_bwd_kernel."""
+    b = pl.program_id(0)
+    h2 = pl.program_id(1)
+    qp = q_ref[0]
+    kp = k_ref[0]
+    vp = v_ref[0]
+    dop = do_ref[0]
+    ktp = jnp.swapaxes(kp, 0, 1)
+    sp = qp.shape[0]
+    hb = _LANES // head_dim
+    prec = jax.lax.Precision.HIGHEST if qp.dtype == jnp.float32 else None
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (sp, sp), dimension=1)
+    valid = col < seq_len
+    if causal:
+        row = jax.lax.broadcasted_iota(jnp.int32, (sp, sp), dimension=0)
+        valid = jnp.logical_and(valid, col <= row)
+    neg = jnp.finfo(jnp.float32).min
+
+    dqs, dks, dvs = [], [], []
+    for j in range(hb):
+        lo = j * head_dim
+        q = qp[:, lo:lo + head_dim]
+        k = kp[:, lo:lo + head_dim]
+        kt = ktp[lo:lo + head_dim, :]
+        v = vp[:, lo:lo + head_dim]
+        do = dop[:, lo:lo + head_dim]
+        s = jax.lax.dot_general(q, kt, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                                precision=prec) * scale
+        s = jnp.where(valid, s, neg)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        p = p / l
+        if dropout_rate > 0.0:
+            hid = b * n_heads + h2 * hb + j
+            dmask = _dropout_mask(seed_ref, hid, (sp, sp), dropout_rate)
+            p_eff = p * dmask
+        else:
+            p_eff = p
+        pc = p_eff.astype(v.dtype)
+        dv = jax.lax.dot_general(jnp.swapaxes(pc, 0, 1), do,
+                                 (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32,
+                                 precision=prec)
+        dp = jax.lax.dot_general(do, jnp.swapaxes(v, 0, 1),
+                                 (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32,
+                                 precision=prec)
+        if dropout_rate > 0.0:
+            dp = dp * dmask
+        delta = jnp.sum(p * dp, axis=-1, keepdims=True)
+        ds = (p * (dp - delta) * scale).astype(q.dtype)
+        dq = jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32,
+                                 precision=prec)
+        dk = jax.lax.dot_general(jnp.swapaxes(ds, 0, 1), q,
+                                 (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32,
+                                 precision=prec)
+        dqs.append(dq)
+        dks.append(dk)
+        dvs.append(dv)
+    h2n = (n_heads * head_dim) // _LANES
+    dqkv_ref[0, :, pl.ds(h2 * _LANES, _LANES)] = (
+        jnp.concatenate(dqs, axis=1).astype(dqkv_ref.dtype))
+    dqkv_ref[0, :, pl.ds((h2n + h2) * _LANES, _LANES)] = (
+        jnp.concatenate(dks, axis=1).astype(dqkv_ref.dtype))
+    dqkv_ref[0, :, pl.ds((2 * h2n + h2) * _LANES, _LANES)] = (
+        jnp.concatenate(dvs, axis=1).astype(dqkv_ref.dtype))
+
+
+def _packed_bwd_impl(qkv, g, seed, n_heads: int, causal: bool,
+                     dropout_rate: float):
+    b, s, three_d = qkv.shape
+    n_embd = three_d // 3
+    d = n_embd // n_heads
+    scale = 1.0 / math.sqrt(d)
+    h2 = n_embd // _LANES
+    sp = _ceil_to(s, _SUBLANE)
+    x = qkv
+    if sp != s:
+        x = jnp.pad(x, ((0, 0), (0, sp - s), (0, 0)))
+        g = jnp.pad(g, ((0, 0), (0, sp - s), (0, 0)))
+    interpret = jax.default_backend() != "tpu"
+
+    dqkv = pl.pallas_call(
+        functools.partial(_fa_packed_bwd_kernel, scale=scale, causal=causal,
+                          seq_len=s, dropout_rate=dropout_rate, head_dim=d,
+                          n_heads=n_heads),
+        grid=(b, h2),
+        in_specs=[
+            pl.BlockSpec((1, sp, _LANES), lambda b, h: (b, 0, h),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sp, _LANES), lambda b, h, h2=h2: (b, 0, h2 + h),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sp, _LANES),
+                         lambda b, h, h2=h2: (b, 0, 2 * h2 + h),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sp, _LANES), lambda b, h: (b, 0, h),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, sp, 3 * n_embd), lambda b, h: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, sp, three_d), qkv.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=10 * b * n_heads * sp * sp * d,
+            bytes_accessed=8 * b * sp * n_embd * qkv.dtype.itemsize,
+            transcendentals=b * n_heads * sp * sp,
+        ),
+        interpret=interpret,
+    )(x, x, x, g, seed)
+    if sp != s:
+        dqkv = dqkv[:, :s]
+    return dqkv
+
+
+@functools.lru_cache(maxsize=None)
+def _packed_fwd_cp(n_heads: int, causal: bool, dropout_rate: float):
+    @custom_partitioning
+    def fwd(qkv, seed):
+        return _packed_fwd_impl(qkv, seed, n_heads, causal, dropout_rate)
+
+    def infer(mesh, arg_infos, result_infos):
+        (b,) = lead_spec(arg_infos[0], 1)
+        return named(mesh, b, None, None)
+
+    def part(mesh, arg_infos, result_infos):
+        (b,) = lead_spec(arg_infos[0], 1)
+        sh = named(mesh, b, None, None)
+        arg_sh = (sh, named(mesh, None))
+
+        def lower(qkv, seed):
+            return _packed_fwd_impl(qkv, seed, n_heads, causal, dropout_rate)
+
+        return mesh, lower, sh, arg_sh
+
+    # x (3D) and y (D) are distinct factors — only the batch dim propagates.
+    fwd.def_partition(partition=part, infer_sharding_from_operands=infer,
+                      sharding_rule="b s x, u -> b s y")
+    return fwd
+
+
+@functools.lru_cache(maxsize=None)
+def _packed_bwd_cp(n_heads: int, causal: bool, dropout_rate: float):
+    @custom_partitioning
+    def bwd(qkv, g, seed):
+        return _packed_bwd_impl(qkv, g, seed, n_heads, causal, dropout_rate)
+
+    def infer(mesh, arg_infos, result_infos):
+        (b,) = lead_spec(arg_infos[0], 1)
+        return named(mesh, b, None, None)
+
+    def part(mesh, arg_infos, result_infos):
+        (b,) = lead_spec(arg_infos[0], 1)
+        sh = named(mesh, b, None, None)
+        arg_sh = (sh, sh, named(mesh, None))
+
+        def lower(qkv, g, seed):
+            return _packed_bwd_impl(qkv, g, seed, n_heads, causal, dropout_rate)
+
+        return mesh, lower, sh, arg_sh
+
+    bwd.def_partition(partition=part, infer_sharding_from_operands=infer,
+                      sharding_rule="b s x, b s y, u -> b s x")
+    return bwd
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _flash_attention_packed(qkv, seed, n_heads, causal, dropout_rate):
+    return _packed_fwd_cp(n_heads, causal, dropout_rate)(qkv, seed)
+
+
+def _fa_packed_fwd(qkv, seed, n_heads, causal, dropout_rate):
+    return (_packed_fwd_cp(n_heads, causal, dropout_rate)(qkv, seed),
+            (qkv, seed))
+
+
+def _fa_packed_bwd(n_heads, causal, dropout_rate, res, g):
+    import numpy as np
+
+    qkv, seed = res
+    dqkv = _packed_bwd_cp(n_heads, causal, dropout_rate)(qkv, g, seed)
+    return dqkv, np.zeros(seed.shape, jax.dtypes.float0)
+
+
+_flash_attention_packed.defvjp(_fa_packed_fwd, _fa_packed_bwd)
+
+
+def flash_attention_packed(qkv: jax.Array, n_heads: int, *,
+                           causal: bool = False, dropout_rate: float = 0.0,
+                           dropout_rng: "jax.Array | None" = None) -> jax.Array:
+    """Fused attention over a packed QKV projection. qkv: (B, S, 3D) → (B, S, D).
+
+    Caller must check ``packed_supported`` first; this is the zero-glue fast path
+    (no head-split rearranges in XLA — see module comment above)."""
+    if dropout_rate > 0.0:
+        if dropout_rng is None:
+            raise ValueError("dropout_rate > 0 requires dropout_rng")
+        seed = jax.random.randint(dropout_rng, (1,), 0, 2 ** 31 - 1, jnp.int32)
+    else:
+        seed = jnp.zeros((1,), jnp.int32)
+    return _flash_attention_packed(qkv, seed, n_heads, causal, dropout_rate)
 
 
 def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,

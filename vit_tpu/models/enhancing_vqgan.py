@@ -25,7 +25,7 @@ import numpy as np
 from einops import rearrange
 from flax import linen as nn
 
-from vit_tpu.ops.attention import multi_head_attention
+from vit_tpu.ops.attention import fused_qkv_attention
 from vit_tpu.quantize.vq import Quantizer
 
 
@@ -92,10 +92,7 @@ class EnhancingAttention(nn.Module):
         qkv = nn.Dense(inner * 3, use_bias=False, kernel_init=xavier_uniform_2d,
                        dtype=cfg.dtype, param_dtype=cfg.param_dtype,
                        name="to_qkv")(x)
-        q, k, v = rearrange(qkv, "b n (three h d) -> three b h n d",
-                            three=3, h=cfg.heads)
-        out = multi_head_attention(q, k, v, impl=cfg.attn_impl)
-        out = rearrange(out, "b h n d -> b n (h d)")
+        out = fused_qkv_attention(qkv, cfg.heads, impl=cfg.attn_impl)
         return nn.Dense(cfg.dim, kernel_init=xavier_uniform_2d,
                         bias_init=nn.initializers.zeros, dtype=cfg.dtype,
                         param_dtype=cfg.param_dtype, name="to_out")(out)

@@ -75,6 +75,40 @@ def _pick_impl(impl: Optional[str], dropout_rate: float) -> str:
     return "pallas" if platform == "tpu" else "xla"
 
 
+def fused_qkv_attention(
+    qkv: jax.Array,
+    n_heads: int,
+    *,
+    causal: bool = False,
+    dropout_rate: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
+    impl: Optional[str] = None,
+) -> jax.Array:
+    """Attention straight off the packed QKV projection. qkv: (B, S, 3D) → (B, S, D).
+
+    On the Pallas path the head split/merge happens inside the kernel via BlockSpecs
+    (zero XLA layout copies — the round-2 profile showed ~0.7 ms/layer of glue for
+    the rearrange-based path). Falls back to unpacking + ``multi_head_attention``
+    when the packed kernel doesn't apply (CPU/xla impl, head_dim ∤ 128, long seqs)."""
+    b, s, three_d = qkv.shape
+    n_embd = three_d // 3
+    chosen = _pick_impl(impl, dropout_rate)
+    if chosen == "pallas":
+        from vit_tpu.kernels.attention import (flash_attention_packed,
+                                               packed_supported)
+
+        if packed_supported(n_heads, n_embd, s, dropout_rate):
+            return flash_attention_packed(qkv, n_heads, causal=causal,
+                                          dropout_rate=dropout_rate,
+                                          dropout_rng=dropout_rng)
+    d = n_embd // n_heads
+    q, k, v = (qkv.reshape(b, s, 3, n_heads, d)
+               .transpose(2, 0, 3, 1, 4))
+    out = multi_head_attention(q, k, v, causal=causal, dropout_rate=dropout_rate,
+                               dropout_rng=dropout_rng, impl=impl)
+    return out.transpose(0, 2, 1, 3).reshape(b, s, n_embd)
+
+
 def multi_head_attention(
     q: jax.Array,
     k: jax.Array,
