@@ -136,3 +136,45 @@ def test_shard_map_dp_step_matches_single_device(attn_impl):
     for a, b in zip(jax.tree_util.tree_leaves(s1.params),
                     jax.tree_util.tree_leaves(jax.device_get(s2.params))):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5)
+
+
+def test_pjit_keeps_pallas_kernels(capfd):
+    """Round-2: custom_partitioning rules let the dp×fsdp×tp pjit path keep the
+    fused Pallas attention (packed) + VQ kernels on local shards — numerics must
+    match the single-device step (round 1 had to force attn_impl="xla" here)."""
+    cfg = TiTokConfig(image_size=16, patch_size=4, latent_tokens=8,
+                      codebook_size=32, latent_dim=6, transformer="S",
+                      dtype=jnp.float32, attn_impl="pallas")
+    for name in ("enc_vit_config", "dec_vit_config"):
+        sub = getattr(cfg, name)
+        sub.trans_config = sub.trans_config.replace(
+            n_layers=2, n_heads=2, n_embd=128, attn_impl="pallas")
+    cfg.n_embd = 128
+    model = TiTok(cfg)
+
+    images = jax.random.uniform(jax.random.PRNGKey(0), (8, 16, 16, 3))
+    usage = jnp.zeros((cfg.codebook_size,), jnp.float32)
+    rng = jax.random.PRNGKey(7)
+    step_fn = make_tokenizer_train_step(model)
+
+    state1 = _make_state(model, images)
+    s1, u1, m1, _ = jax.jit(step_fn)(state1, images, usage, rng)
+
+    mesh = make_mesh(dp=2, fsdp=2, tp=2)
+    state2 = _make_state(model, images)
+    st_sh = state_shardings(mesh, state2)
+    b_sh = batch_sharding(mesh)
+    rep = NamedSharding(mesh, P())
+    state2 = jax.device_put(state2, st_sh)
+    sharded = jax.jit(step_fn, in_shardings=(st_sh, b_sh, rep, rep),
+                      out_shardings=(st_sh, rep, rep, b_sh))
+    with mesh:
+        s2, u2, m2, _ = sharded(state2, jax.device_put(images, b_sh),
+                                jax.device_put(usage, rep), rng)
+
+    np.testing.assert_allclose(float(m1["train/loss"]), float(m2["train/loss"]),
+                               rtol=2e-5)
+    np.testing.assert_array_equal(np.asarray(u1), np.asarray(u2))
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(jax.device_get(s2.params))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)

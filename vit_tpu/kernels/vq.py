@@ -66,40 +66,22 @@ def nearest_code_xla(z: jax.Array, codebook: jax.Array, *,
     return jnp.argmin(d, axis=-1).astype(jnp.int32)
 
 
-def nearest_code(z: jax.Array, codebook: jax.Array, *,
-                 l2_normalize: bool = True, impl: str | None = None) -> jax.Array:
-    """Nearest codebook index per row. z: (..., D), codebook: (C, D) -> (...,) int32.
-
-    Forward-only (indices carry no gradient); the straight-through estimator lives in
-    the quantizer module (vit_tpu/quantize/vq.py).
-    """
-    batch_shape = z.shape[:-1]
-    d = z.shape[-1]
-    c = codebook.shape[0]
-    zf = z.reshape(-1, d)
-    n = zf.shape[0]
-
-    use_pallas = impl == "pallas" or (
-        impl is None and c <= _MAX_CODEBOOK_FUSED)
-    if impl == "xla" or not use_pallas:
-        return nearest_code_xla(zf, codebook, l2_normalize=l2_normalize
-                                ).reshape(batch_shape)
-
-    cp = _ceil_to(c, 128)
+def _vq_impl(zf32: jax.Array, et: jax.Array, *, l2_normalize: bool,
+             n_codes: int) -> jax.Array:
+    """zf32 (N, D) fp32, eᵀ (D, Cp) fp32 (lane-padded) → (N,) int32.
+    Pads/derives the grid from ITS OWN input shape so it works on local shards
+    inside the custom_partitioning lowering below."""
+    n, d = zf32.shape
+    cp = et.shape[1]
     block_n = max(8, min(512, _VMEM_SCORE_BUDGET // (cp * 4)))
     block_n = _ceil_to(block_n, 8)
     np_ = _ceil_to(n, block_n)
-
-    # Indices are intrinsically non-differentiable; stop gradients at the kernel
-    # boundary so autodiff never tries to linearize through pallas_call.
-    zf32 = jax.lax.stop_gradient(
-        jnp.pad(zf.astype(jnp.float32), ((0, np_ - n), (0, 0))))
-    et = jax.lax.stop_gradient(
-        jnp.pad(codebook.astype(jnp.float32).T, ((0, 0), (0, cp - c))))
+    if np_ != n:
+        zf32 = jnp.pad(zf32, ((0, np_ - n), (0, 0)))
 
     interpret = jax.default_backend() != "tpu"
     idx = pl.pallas_call(
-        functools.partial(_vq_kernel, l2_normalize=l2_normalize, n_codes=c),
+        functools.partial(_vq_kernel, l2_normalize=l2_normalize, n_codes=n_codes),
         grid=(np_ // block_n,),
         in_specs=[
             pl.BlockSpec((block_n, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -115,4 +97,63 @@ def nearest_code(z: jax.Array, codebook: jax.Array, *,
         ),
         interpret=interpret,
     )(zf32, et)
-    return jax.lax.stop_gradient(idx[:n, 0].reshape(batch_shape))
+    return idx[:n, 0]
+
+
+@functools.lru_cache(maxsize=None)
+def _vq_cp(l2_normalize: bool, n_codes: int):
+    """GSPMD rule: rows (tokens) shardable, codebook replicated — pjit keeps the
+    fused kernel on local shards (see kernels/_partition.py)."""
+    from jax.experimental.custom_partitioning import custom_partitioning
+
+    from vit_tpu.kernels._partition import lead_spec, named
+
+    @custom_partitioning
+    def run(zf32, et):
+        return _vq_impl(zf32, et, l2_normalize=l2_normalize, n_codes=n_codes)
+
+    def infer(mesh, arg_infos, result_infos):
+        (n,) = lead_spec(arg_infos[0], 1)
+        return named(mesh, n)
+
+    def part(mesh, arg_infos, result_infos):
+        (n,) = lead_spec(arg_infos[0], 1)
+        arg_sh = (named(mesh, n, None), named(mesh, None, None))
+
+        def lower(zf32, et):
+            return _vq_impl(zf32, et, l2_normalize=l2_normalize,
+                            n_codes=n_codes)
+
+        return mesh, lower, named(mesh, n), arg_sh
+
+    run.def_partition(partition=part, infer_sharding_from_operands=infer,
+                      sharding_rule="n d, d c -> n")
+    return run
+
+
+def nearest_code(z: jax.Array, codebook: jax.Array, *,
+                 l2_normalize: bool = True, impl: str | None = None) -> jax.Array:
+    """Nearest codebook index per row. z: (..., D), codebook: (C, D) -> (...,) int32.
+
+    Forward-only (indices carry no gradient); the straight-through estimator lives in
+    the quantizer module (vit_tpu/quantize/vq.py).
+    """
+    batch_shape = z.shape[:-1]
+    d = z.shape[-1]
+    c = codebook.shape[0]
+    zf = z.reshape(-1, d)
+
+    use_pallas = impl == "pallas" or (
+        impl is None and c <= _MAX_CODEBOOK_FUSED)
+    if impl == "xla" or not use_pallas:
+        return nearest_code_xla(zf, codebook, l2_normalize=l2_normalize
+                                ).reshape(batch_shape)
+
+    cp = _ceil_to(c, 128)
+    # Indices are intrinsically non-differentiable; stop gradients at the kernel
+    # boundary so autodiff never tries to linearize through pallas_call.
+    zf32 = jax.lax.stop_gradient(zf.astype(jnp.float32))
+    et = jax.lax.stop_gradient(
+        jnp.pad(codebook.astype(jnp.float32).T, ((0, 0), (0, cp - c))))
+    idx = _vq_cp(l2_normalize, c)(zf32, et)
+    return jax.lax.stop_gradient(idx.reshape(batch_shape))
