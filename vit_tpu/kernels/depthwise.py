@@ -74,24 +74,88 @@ def _dw_fwd(x, w, b, ksize):
     return _dw_forward(x, w, b, ksize=ksize), (x, w)
 
 
+def _dw_bwd_kernel(x_ref, g_ref, wf_ref, dx_ref, dw_ref, db_ref, padg_ref,
+                   padx_ref, *, ksize: int):
+    """Fused backward, one image per sequential grid step.
+
+    dx via the flipped filter (same 49-MAC loop as the forward, over padded g);
+    dw/db accumulated IN VMEM across the batch grid (dw_ref/db_ref blocks are
+    revisited: constant index map → Mosaic keeps them resident and writes back
+    once). Round-1's jnp dw reduction did 49 shifted full-tensor HBM passes —
+    that was the measured net-loss; here x and g are each read from HBM once."""
+    p = ksize // 2
+    h = x_ref.shape[1]
+    w = x_ref.shape[2]
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        dw_ref[...] = jnp.zeros_like(dw_ref)
+        db_ref[...] = jnp.zeros_like(db_ref)
+
+    padg_ref[...] = jnp.zeros_like(padg_ref)
+    padg_ref[p:p + h, p:p + w, :] = g_ref[0].astype(padg_ref.dtype)
+    padx_ref[...] = jnp.zeros_like(padx_ref)
+    padx_ref[p:p + h, p:p + w, :] = x_ref[0].astype(padx_ref.dtype)
+
+    g32 = g_ref[0].astype(jnp.float32)
+    acc = jnp.zeros((h, w, x_ref.shape[3]), jnp.float32)
+    # Build this image's (k, k, C) weight grad by concatenation (Mosaic has no
+    # scatter-add; static concat of (1,1,C) row sums lowers cleanly), then add
+    # once into the resident accumulator block.
+    rows = []
+    for di in range(ksize):
+        cols = []
+        for dj in range(ksize):
+            acc = acc + padg_ref[di:di + h, dj:dj + w, :] * wf_ref[di, dj, :]
+            cols.append(jnp.sum(padx_ref[di:di + h, dj:dj + w, :] * g32,
+                                axis=(0, 1))[None, None, :])
+        rows.append(jnp.concatenate(cols, axis=1))
+    dx_ref[0] = acc.astype(dx_ref.dtype)
+    dw_ref[...] = dw_ref[...] + jnp.concatenate(rows, axis=0)
+    db_ref[...] = db_ref[...] + jnp.sum(g32, axis=(0, 1))[None]
+
+
 def _dw_bwd(ksize, res, g):
     x, w = res
-    # dx: correlate g with the flipped filter (same kernel, zero bias)
-    wf = w[::-1, ::-1, :]
-    zeros = jnp.zeros((w.shape[-1],), w.dtype)
-    dx = _dw_forward(g, wf, zeros, ksize=ksize).astype(x.dtype)
-    # dw[di,dj,c] = Σ_{n,h,w} xpad[n, h+di, w+dj, c] · g[n,h,w,c]
-    p = ksize // 2
-    xp = jnp.pad(x.astype(jnp.float32), ((0, 0), (p, p), (p, p), (0, 0)))
     n, h, wdt, c = x.shape
-    g32 = g.astype(jnp.float32)
-    dw = jnp.stack([
-        jnp.stack([
-            jnp.sum(xp[:, di:di + h, dj:dj + wdt, :] * g32, axis=(0, 1, 2))
-            for dj in range(ksize)], axis=0)
-        for di in range(ksize)], axis=0).astype(w.dtype)
-    db = jnp.sum(g32, axis=(0, 1, 2)).astype(w.dtype)
-    return dx, dw, db
+    p = ksize // 2
+    wf = w[::-1, ::-1, :]  # flipped filter for dx
+    interpret = jax.default_backend() != "tpu"
+    dx, dw, db = pl.pallas_call(
+        functools.partial(_dw_bwd_kernel, ksize=ksize),
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec((1, h, wdt, c), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h, wdt, c), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ksize, ksize, c), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, h, wdt, c), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ksize, ksize, c), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct(x.shape, x.dtype),
+            jax.ShapeDtypeStruct((ksize, ksize, c), jnp.float32),
+            jax.ShapeDtypeStruct((1, c), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((h + 2 * p, wdt + 2 * p, c), jnp.float32),
+            pltpu.VMEM((h + 2 * p, wdt + 2 * p, c), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=6 * n * h * wdt * c * ksize * ksize,
+            bytes_accessed=3 * n * h * wdt * c * x.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x, g, wf)
+    return dx, dw.astype(w.dtype), db[0].astype(w.dtype)
 
 
 depthwise_conv.defvjp(_dw_fwd, _dw_bwd)

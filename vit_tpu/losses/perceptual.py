@@ -67,11 +67,16 @@ class ConvNeXtBlock(nn.Module):
 
     dim: int
     dtype: jnp.dtype = jnp.float32
+    dw_impl: str = "lax"
 
     @nn.compact
     def __call__(self, x):
-        h = DWConv7(self.dim, dtype=self.dtype, name="dwconv")(x)
-        h = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm")(h)
+        h = DWConv7(self.dim, dtype=self.dtype, impl=self.dw_impl,
+                    name="dwconv")(x)
+        # LN output in compute dtype (flax upcasts half dtypes to fp32 for the
+        # statistics) — fp32 LN outputs doubled HBM traffic on this
+        # bandwidth-bound net for no accuracy benefit.
+        h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(h)
         h = nn.Dense(4 * self.dim, dtype=self.dtype, name="pwconv1")(h)
         h = nn.gelu(h, approximate=False)
         h = nn.Dense(self.dim, dtype=self.dtype, name="pwconv2")(h)
@@ -87,21 +92,22 @@ class ConvNeXt(nn.Module):
     dims: Sequence[int] = CONVNEXT_S_DIMS
     num_classes: int = 1000
     dtype: jnp.dtype = jnp.float32
+    dw_impl: str = "lax"
 
     @nn.compact
     def __call__(self, x):
         # stem: 4×4 stride-4 conv + LN (channels-last here)
         x = nn.Conv(self.dims[0], (4, 4), strides=(4, 4), dtype=self.dtype,
                     name="stem_conv")(x)
-        x = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="stem_norm")(x)
+        x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="stem_norm")(x)
         for stage, (depth, dim) in enumerate(zip(self.depths, self.dims)):
             if stage > 0:
-                x = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32,
+                x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
                                  name=f"downsample_norm_{stage}")(x)
                 x = nn.Conv(dim, (2, 2), strides=(2, 2), dtype=self.dtype,
                             name=f"downsample_conv_{stage}")(x)
             for block in range(depth):
-                x = ConvNeXtBlock(dim, dtype=self.dtype,
+                x = ConvNeXtBlock(dim, dtype=self.dtype, dw_impl=self.dw_impl,
                                   name=f"stage{stage}_block{block}")(x)
         x = jnp.mean(x, axis=(1, 2))  # global average pool
         x = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="head_norm")(x)
@@ -111,8 +117,14 @@ class ConvNeXt(nn.Module):
 class PerceptualLoss:
     """Frozen ConvNeXt-S logit-matching loss (reference perceptual_loss.py:56-70)."""
 
-    def __init__(self, params=None, *, dtype=jnp.float32):
-        self.model = ConvNeXt(dtype=dtype)
+    def __init__(self, params=None, *, dtype=jnp.float32, dw_impl="lax"):
+        # dw_impl: "lax" (default) or "pallas". The Pallas depthwise now has a
+        # fully fused backward (kernels/depthwise.py) but measured SLOWER
+        # in-context on this chip (flagship profile r2: 69.9 ms/step pallas
+        # fwd+bwd vs ~35 ms lax) — the 49-tap MAC loop is VPU-bound while XLA's
+        # grouped conv schedules better here. Kept switchable for revisit on
+        # full-bandwidth parts.
+        self.model = ConvNeXt(dtype=dtype, dw_impl=dw_impl)
         self.params = params
 
     @staticmethod
@@ -146,10 +158,12 @@ class PerceptualLoss:
 
             # Two-matmul antialiased bilinear resize — equals jax.image.resize /
             # F.interpolate(..., antialias=True) to ~1e-5 (reference
-            # perceptual_loss.py:61-62) but stays on the MXU.
-            img = resize_bilinear_antialias(img, 224, 224)
-            mean = jnp.asarray(IMAGENET_MEAN)
-            std = jnp.asarray(IMAGENET_STD)
+            # perceptual_loss.py:61-62) but stays on the MXU. In a half-precision
+            # net the resize runs in that dtype too (halves 224² HBM traffic).
+            dt = self.model.dtype
+            img = resize_bilinear_antialias(img.astype(dt), 224, 224)
+            mean = jnp.asarray(IMAGENET_MEAN, dt)
+            std = jnp.asarray(IMAGENET_STD, dt)
             return (img - mean) / std
 
         logits_x = self.model.apply({"params": self.params}, prep(x))

@@ -37,11 +37,13 @@ def _resize_matrix(in_size: int, out_size: int) -> np.ndarray:
 
 def resize_bilinear_antialias(img: jnp.ndarray, out_h: int, out_w: int
                               ) -> jnp.ndarray:
-    """img: (B, H, W, C) → (B, out_h, out_w, C), fp32."""
+    """img: (B, H, W, C) → (B, out_h, out_w, C); runs in the input dtype
+    (fp32 in, fp32 out; a bf16 input keeps the whole resize in bf16)."""
     b, h, w, c = img.shape
-    a = jnp.asarray(_resize_matrix(h, out_h))          # (out_h, H)
-    bmat = jnp.asarray(_resize_matrix(w, out_w))       # (out_w, W)
-    x = img.astype(jnp.float32)
+    dt = img.dtype if img.dtype in (jnp.float32, jnp.bfloat16) else jnp.float32
+    a = jnp.asarray(_resize_matrix(h, out_h), dt)      # (out_h, H)
+    bmat = jnp.asarray(_resize_matrix(w, out_w), dt)   # (out_w, W)
+    x = img.astype(dt)
     x = jnp.einsum("oh,bhwc->bowc", a, x)              # rows
     x = jnp.einsum("ow,bhwc->bhoc", bmat, x)           # cols (w axis)
     return x
