@@ -26,6 +26,7 @@ from vit_tpu.train.checkpoint import Checkpointer
 from vit_tpu.train.optim import make_optimizer
 from vit_tpu.train.state import TrainState, params_str
 from vit_tpu.utils.logging import MetricsLogger
+from vit_tpu.utils.config import str2bool
 
 
 def parse_args():
@@ -39,7 +40,7 @@ def parse_args():
     parser.add_argument('--transformer', type=str, default='S')
     parser.add_argument('--bs', type=int, default=32)
     parser.add_argument('--micro_steps', type=int, default=1)
-    parser.add_argument('--mixed', type=bool, default=True)
+    parser.add_argument('--mixed', type=str2bool, default=True)
     parser.add_argument('--lr', type=float, default=1e-4)
     parser.add_argument('--perceptual_weight', type=float, default=1.0)  # accepted;
     # the reference accepts it but this workload has no perceptual term (CE loss)
@@ -74,20 +75,33 @@ def make_code_loader(args):
         import json
         from pathlib import Path
 
-        from vit_tpu.models.vit_vqgan import ViTVQGAN, ViTVQGANConfig
-        from vit_tpu.utils.config import dataclass_from_dict
-
         ckpt_dir = Path(args.vq_ckpt)
-        cfg = dataclass_from_dict(
-            ViTVQGANConfig, json.loads((ckpt_dir / "best_config.json").read_text()))
-        cfg.__post_init__()
-        vq_model = ViTVQGAN(cfg)
-        dummy = jnp.zeros((1, cfg.image_size, cfg.image_size, 3))
-        vq_params = jax.jit(vq_model.init)(jax.random.PRNGKey(0), dummy)["params"]
-        tx = make_optimizer(1e-4, 1, 10, 1e-5, 0.0)
-        state = Checkpointer(str(ckpt_dir)).restore(
-            TrainState.create(vq_params, tx), tag="best")
-        vq_params = state.params
+        if ckpt_dir.is_file():
+            # External LlamaGen {"model": state_dict} .pt checkpoint
+            # (reference train_llamagen_titok.py:140-155) — converted in-process.
+            from vit_tpu.models.llamagen_vq import load_llamagen_vq
+
+            vq_model, vq_params = load_llamagen_vq(str(ckpt_dir))
+
+            class _Cfg:
+                image_size = 256  # LlamaGen c2i default input resolution
+            cfg = _Cfg()
+        else:
+            from vit_tpu.models.vit_vqgan import ViTVQGAN, ViTVQGANConfig
+            from vit_tpu.utils.config import dataclass_from_dict
+
+            cfg = dataclass_from_dict(
+                ViTVQGANConfig,
+                json.loads((ckpt_dir / "best_config.json").read_text()))
+            cfg.__post_init__()
+            vq_model = ViTVQGAN(cfg)
+            dummy = jnp.zeros((1, cfg.image_size, cfg.image_size, 3))
+            vq_params = jax.jit(vq_model.init)(jax.random.PRNGKey(0),
+                                               dummy)["params"]
+            tx = make_optimizer(1e-4, 1, 10, 1e-5, 0.0)
+            state = Checkpointer(str(ckpt_dir)).restore(
+                TrainState.create(vq_params, tx), tag="best")
+            vq_params = state.params
         encode = jax.jit(lambda imgs: vq_model.apply(
             {"params": vq_params}, imgs, method="encode"))
         decode = jax.jit(lambda idx: vq_model.apply(
