@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import sys
 from pathlib import Path
 
 import jax
@@ -100,9 +101,17 @@ def main():
     if args.perceptual_weights:
         from vit_tpu.losses.perceptual import PerceptualLoss
 
-        weights = (PerceptualLoss.init_params()
-                   if args.perceptual_weights == "random"
-                   else PerceptualLoss.load_params(args.perceptual_weights))
+        if args.perceptual_weights == "random":
+            print("=" * 78, file=sys.stderr)
+            print("WARNING: perceptual metric uses RANDOMLY INITIALIZED ConvNeXt "
+                  "weights.\nThe number below is NOT comparable to LPIPS or to the "
+                  "reference's perceptual\nloss — convert real IMAGENET1K_V1 weights "
+                  "with scripts/convert_perceptual_weights.py\nand pass the .npz "
+                  "instead.", file=sys.stderr)
+            print("=" * 78, file=sys.stderr)
+            weights = PerceptualLoss.init_params()
+        else:
+            weights = PerceptualLoss.load_params(args.perceptual_weights)
         perceptual = PerceptualLoss(weights)
 
     if args.model == "tatitok":

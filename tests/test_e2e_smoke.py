@@ -29,7 +29,7 @@ def test_train_vit_e2e_on_tiny_wds_shard(tmp_path):
          "--image_size", "32", "--patch_size", "8", "--transformer", "S",
          "--num_classes", "4", "--bs", "8", "--epochs", "2", "--dropout", "0.0",
          "--lr", "3e-4", "--warmup_steps", "2", "--train_steps", "50",
-         "--log_every", "2", "--no_wandb", "--mixed", "",
+         "--log_every", "2", "--no_wandb", "--mixed", "false",
          "--ckpt_dir", str(tmp_path / "ckpt")],
         capture_output=True, text=True, cwd=REPO, env=env, timeout=600)
     assert res.returncode == 0, res.stderr[-2000:]

@@ -61,7 +61,7 @@ command:
   - --dropout
   - "0.0"
   - --mixed
-  - ""
+  - "false"
   - --warmup_steps
   - "2"
   - --train_steps

@@ -27,6 +27,7 @@ from vit_tpu.train.loop import build_perceptual
 from vit_tpu.train.optim import make_optimizer, wd_exclude_mask
 from vit_tpu.train.state import TrainState, params_str
 from vit_tpu.utils.logging import MetricsLogger
+from vit_tpu.utils.config import str2bool
 
 
 def parse_args():
@@ -40,7 +41,7 @@ def parse_args():
                         choices=['small', 'base', 'large'])
     parser.add_argument('--bs', type=int, default=32)
     parser.add_argument('--micro_steps', type=int, default=1)
-    parser.add_argument('--mixed', type=bool, default=True)
+    parser.add_argument('--mixed', type=str2bool, default=True)
     parser.add_argument('--lr', type=float, default=1e-4)
     parser.add_argument('--perceptual_weight', type=float, default=1.1)
     parser.add_argument('--weight_decay', type=float, default=1e-4)
@@ -56,7 +57,7 @@ def parse_args():
                              'synthetic')
     parser.add_argument('--steps_per_epoch', type=int, default=100)
     parser.add_argument('--perceptual_weights', type=str, default=None)
-    parser.add_argument('--use_l2_norm', type=bool, default=True)
+    parser.add_argument('--use_l2_norm', type=str2bool, default=True)
     parser.add_argument('--clustering_vq', action='store_true')
     parser.add_argument('--attn_impl', type=str, default=None,
                         choices=[None, 'pallas', 'xla'])

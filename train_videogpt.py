@@ -32,6 +32,7 @@ from vit_tpu.train.checkpoint import Checkpointer
 from vit_tpu.train.optim import make_optimizer
 from vit_tpu.train.state import TrainState, params_str
 from vit_tpu.utils.logging import MetricsLogger
+from vit_tpu.utils.config import str2bool
 
 
 def parse_args():
@@ -44,7 +45,7 @@ def parse_args():
     parser.add_argument('--condition_frames', type=int, default=8)
     parser.add_argument('--dropout', type=float, default=0.0)
     parser.add_argument('--bs', type=int, default=32)
-    parser.add_argument('--mixed', type=bool, default=True)
+    parser.add_argument('--mixed', type=str2bool, default=True)
     parser.add_argument('--lr', type=float, default=1e-4)
     parser.add_argument('--weight_decay', type=float, default=1e-4)
     parser.add_argument('--warmup_steps', type=int, default=5000)

@@ -28,6 +28,7 @@ from vit_tpu.train.optim import make_optimizer
 from vit_tpu.train.state import TrainState, params_str
 from vit_tpu.train.step import make_classifier_eval_step, make_classifier_train_step
 from vit_tpu.utils.logging import MetricsLogger
+from vit_tpu.utils.config import str2bool
 
 
 def parse_args():
@@ -42,7 +43,7 @@ def parse_args():
     parser.add_argument('--transformer', type=str, default="L")
     parser.add_argument('--dropout', type=float, default=0.15)
     parser.add_argument('--bs', type=int, default=64)
-    parser.add_argument('--mixed', type=bool, default=True)  # bf16 compute when True
+    parser.add_argument('--mixed', type=str2bool, default=True)  # bf16 compute when True
     parser.add_argument('--lr', type=float, default=1e-4)
     parser.add_argument('--weight_decay', type=float, default=1e-2)
     parser.add_argument('--warmup_steps', type=int, default=5000)

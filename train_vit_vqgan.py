@@ -17,6 +17,7 @@ import jax.numpy as jnp
 from vit_tpu.data.synthetic import SyntheticImageLoader
 from vit_tpu.models.vit_vqgan import ViTVQGAN, ViTVQGANConfig
 from vit_tpu.train.loop import run_tokenizer_training
+from vit_tpu.utils.config import str2bool
 
 
 def parse_args():
@@ -29,7 +30,7 @@ def parse_args():
     parser.add_argument('--latent_dim', type=int, default=12)
     parser.add_argument('--transformer', type=str, default='B')
     parser.add_argument('--bs', type=int, default=32)
-    parser.add_argument('--mixed', type=bool, default=True)
+    parser.add_argument('--mixed', type=str2bool, default=True)
     parser.add_argument('--lr', type=float, default=1e-4)
     parser.add_argument('--weight_decay', type=float, default=1e-4)
     parser.add_argument('--warmup_steps', type=int, default=5000)

@@ -99,7 +99,9 @@ class VideoGPT(nn.Module):
         length = tokens.shape[1]
         emb = (jnp.take(self.tok_embed, tokens, axis=0)
                + self.pos_embed[None, :length]).astype(cfg.trans_config.dtype)
-        h = self.transformer(emb, True, jnp.zeros((), jnp.int32))
+        # static pos=0: multi-token cache writes are only correct from the start
+        # of the sequence (see Attention._decode guard).
+        h = self.transformer(emb, True, 0)
         return self.proj(h[:, -1].astype(jnp.float32))
 
 

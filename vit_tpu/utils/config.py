@@ -41,3 +41,20 @@ def dataclass_from_dict(cls: Type[T], data: dict) -> T:
     kwargs = {name: _coerce(f, data[name])
               for name, f in init_fields.items() if name in data}
     return cls(**kwargs)
+
+
+def str2bool(value) -> bool:
+    """argparse bool parser: the reference used ``type=bool`` (train_vit.py:65),
+    under which ``--mixed False`` parses as True (any non-empty string is truthy).
+    Flag-name parity doesn't require parity in broken parsing — accept the usual
+    spellings and reject everything else."""
+    if isinstance(value, bool):
+        return value
+    v = str(value).strip().lower()
+    if v in ("true", "t", "yes", "y", "1"):
+        return True
+    if v in ("false", "f", "no", "n", "0"):
+        return False
+    import argparse
+
+    raise argparse.ArgumentTypeError(f"expected a boolean, got {value!r}")
