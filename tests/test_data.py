@@ -142,3 +142,57 @@ def test_converter_cli_video_mode(tmp_path):
     ds = WebDataset(shards)
     clip = ds[0]["sequence.npy"]
     assert clip.shape == (4, 8, 8, 3)  # stack_frames frames after striding
+
+
+def _write_shards(tmp_path, n=25, maxcount=5, size=16):
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    pattern = str(tmp_path / "shard-%04d.tar")
+    with ShardWriter(pattern, maxcount=maxcount) as w:
+        for i in range(n):
+            img = Image.fromarray(
+                rng.integers(0, 255, (size, size, 3), dtype=np.uint8))
+            w.write({"__key__": f"{i:06d}", "jpg": img, "cls": i % 4})
+        paths = list(w.paths)
+    return paths
+
+
+def test_streaming_wds_yields_each_sample_once_and_reshuffles(tmp_path):
+    from vit_tpu.data.wds import StreamingWebDataset
+
+    paths = _write_shards(tmp_path)
+    ds = StreamingWebDataset(paths, shuffle_buffer=8, seed=3, workers=2,
+                             transform=lambda s: s["__key__"])
+    epoch1 = list(ds)
+    epoch2 = list(ds)
+    assert sorted(epoch1) == [f"{i:06d}" for i in range(25)]
+    assert sorted(epoch2) == sorted(epoch1)
+    assert epoch1 != epoch2  # reshuffled across epochs
+
+
+def test_streaming_wds_shards_are_disjoint(tmp_path):
+    from vit_tpu.data.wds import StreamingWebDataset
+
+    paths = _write_shards(tmp_path)
+    got = []
+    for sid in range(2):
+        ds = StreamingWebDataset(paths, shuffle_buffer=0, workers=1,
+                                 shard_id=sid, num_shards=2,
+                                 transform=lambda s: s["__key__"])
+        got.append(set(ds))
+    assert got[0].isdisjoint(got[1])
+    assert len(got[0] | got[1]) == 25
+
+
+def test_streaming_image_loader_batches(tmp_path):
+    from vit_tpu.data.wds import streaming_image_loader
+
+    paths = _write_shards(tmp_path)
+    loader = streaming_image_loader(paths, 16, 8, train=True, shuffle_buffer=4,
+                                    workers=2)
+    batches = list(loader)
+    assert len(batches) == 3  # 25 // 8, drop_last
+    images, labels = batches[0]
+    assert images.shape == (8, 16, 16, 3) and images.dtype == np.float32
+    assert labels.shape == (8,)

@@ -87,3 +87,42 @@ def test_dropout_changes_output_in_training_mode():
                       rngs={"dropout": jax.random.PRNGKey(3)})
     assert not np.allclose(np.asarray(det), np.asarray(tr1))
     assert not np.allclose(np.asarray(tr1), np.asarray(tr2))
+
+
+def test_recording_clip_matches_optax_and_exposes_norm():
+    import optax
+
+    from vit_tpu.train.optim import (clip_by_global_norm_recording,
+                                     last_grad_norm)
+
+    grads = {"a": jnp.full((4, 4), 3.0), "b": jnp.full((2,), -1.5)}
+    ours = clip_by_global_norm_recording(1.0)
+    ref = optax.clip_by_global_norm(1.0)
+    s1 = ours.init(grads)
+    u1, s1 = ours.update(grads, s1)
+    u2, _ = ref.update(grads, ref.init(grads))
+    for a, b in zip(jax.tree.leaves(u1), jax.tree.leaves(u2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    expected = float(optax.global_norm(grads))
+    assert abs(float(last_grad_norm((s1,))) - expected) < 1e-6
+
+
+def test_train_step_reports_grad_norm():
+    from vit_tpu.models.vit import ViT, ViTClassifier, ViTConfig
+    from vit_tpu.train.optim import make_optimizer
+    from vit_tpu.train.state import TrainState
+    from vit_tpu.train.step import make_classifier_train_step
+
+    cfg = ViTConfig(image_size=16, in_channels=3, patch_size=8,
+                    transformer="S", extra_tokens=1, dropout=0.0,
+                    dtype=jnp.float32)
+    cfg.trans_config = cfg.trans_config.replace(n_layers=1, n_heads=2, n_embd=32)
+    cfg.n_embd = 32
+    model = ViTClassifier(cfg, num_classes=4)
+    x = jax.random.uniform(jax.random.PRNGKey(0), (2, 16, 16, 3))
+    y = jnp.zeros((2,), jnp.int32)
+    params = model.init(jax.random.PRNGKey(1), x)["params"]
+    state = TrainState.create(params, make_optimizer(1e-3, 2, 10, 1e-4, 0.0))
+    state, metrics = jax.jit(make_classifier_train_step(model))(
+        state, x, y, jax.random.PRNGKey(2))
+    assert float(metrics["train/grad_norm"]) > 0.0

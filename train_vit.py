@@ -55,6 +55,11 @@ def parse_args():
     parser.add_argument('--wds_shards', type=str, default=None,
                         help='glob of webdataset tar shards (jpg+cls), e.g. '
                              '"shards/train-*.tar" (BASELINE configs[0] path)')
+    parser.add_argument('--wds_streaming', type=str2bool, default=False,
+                        help='stream shards sequentially with a bounded shuffle '
+                             'buffer (ImageNet-scale; memory-independent of shard '
+                             'count) instead of the in-memory map-style reader')
+    parser.add_argument('--shuffle_buffer', type=int, default=1000)
     parser.add_argument('--num_classes', type=int, default=1000)
     parser.add_argument('--steps_per_epoch', type=int, default=50,
                         help='synthetic dataset epoch length')
@@ -92,6 +97,15 @@ def get_loaders(args):
         shards = sorted(glob.glob(args.wds_shards))
         if not shards:
             raise FileNotFoundError(f"no shards match {args.wds_shards}")
+        if args.wds_streaming:
+            from vit_tpu.data.wds import streaming_image_loader
+
+            train = streaming_image_loader(
+                shards, args.image_size, args.bs, train=True,
+                shuffle_buffer=args.shuffle_buffer, seed=args.seed)
+            valid = streaming_image_loader(shards, args.image_size, 2 * args.bs,
+                                           train=False)
+            return train, valid
         train_set = WdsImageClassification(shards, args.image_size, train=True)
         valid_set = WdsImageClassification(shards, args.image_size, train=False)
         return (DataLoader(train_set, args.bs, shuffle=True, drop_last=True),
@@ -135,7 +149,8 @@ def main():
     eval_step = jax.jit(make_classifier_eval_step(model))
 
     print(f"STATS: params={params_str(state.params)}, "
-          f"trn_len={len(train_loader)}, val_len={len(valid_loader)}")
+          f"trn_len={getattr(train_loader, '__len__', lambda: '?')()}, "
+          f"val_len={getattr(valid_loader, '__len__', lambda: '?')()}")
     print(f"PARAMS: {vit_config}")
 
     best_acc = 0.0

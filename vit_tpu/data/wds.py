@@ -122,8 +122,9 @@ class ShardWriter:
         self.close()
 
 
-def iterate_shard(path) -> Iterator[Dict]:
-    """Yield decoded samples from one tar shard."""
+def iterate_shard(path, decode: bool = True) -> Iterator[Dict]:
+    """Yield samples from one tar shard (decode=False keeps raw bytes — the
+    native C++ batch decoder consumes those directly)."""
     with tarfile.open(path, "r") as tar:
         current_key = None
         sample: Dict = {}
@@ -138,9 +139,180 @@ def iterate_shard(path) -> Iterator[Dict]:
                 if sample:
                     yield sample
                 current_key, sample = key, {"__key__": key}
-            sample[ext] = _decode(ext, tar.extractfile(member).read())
+            raw = tar.extractfile(member).read()
+            sample[ext] = _decode(ext, raw) if decode else raw
         if sample:
             yield sample
+
+
+class StreamingWebDataset:
+    """Iterable WebDataset: sequential tar streaming with a bounded shuffle buffer.
+
+    The map-style ``WebDataset`` below materializes every sample in memory — fine
+    for smoke-scale shards, wrong for ImageNet-scale shards on small hosts (the
+    reference streams via the webdataset library, datasets.py /
+    convert2webdaset.py:38). This reader:
+      - streams tar members sequentially, never holding more than the shuffle
+        buffer in memory;
+      - shuffles shard ORDER per epoch (seed+epoch) and samples through a bounded
+        buffer (webdataset ``.shuffle(n)`` semantics);
+      - slices the SHARD LIST by shard_id/num_shards for per-host sharding;
+      - overlaps decode with consumption: ``workers`` threads each stream their
+        own shards (PIL/zlib decode releases the GIL) into a bounded queue.
+
+    ``transform(sample) -> item`` runs on the worker threads.
+    """
+
+    def __init__(self, shard_paths, *, shuffle_buffer: int = 1000, seed: int = 0,
+                 shard_id: int = 0, num_shards: int = 1, workers: int = 4,
+                 transform=None, queue_size: int = 256, decode: bool = True):
+        self.shard_paths = sorted(str(s) for s in shard_paths)[shard_id::num_shards]
+        if not self.shard_paths:
+            raise ValueError("no shards for this shard_id/num_shards slice")
+        self.shuffle_buffer = shuffle_buffer
+        self.seed = seed
+        self.workers = max(1, min(workers, len(self.shard_paths)))
+        self.transform = transform
+        self.queue_size = queue_size
+        self.decode = decode
+        self._epoch = 0
+
+    def __iter__(self):
+        import queue
+        import threading
+
+        epoch = self._epoch
+        self._epoch += 1
+        rng = np.random.default_rng((self.seed, epoch))
+        shards = list(self.shard_paths)
+        if self.shuffle_buffer:
+            rng.shuffle(shards)
+
+        out_q: "queue.Queue" = queue.Queue(maxsize=self.queue_size)
+        lock = threading.Lock()
+        cursor = [0]
+        sentinel = object()
+
+        def worker():
+            while True:
+                with lock:
+                    i = cursor[0]
+                    cursor[0] += 1
+                if i >= len(shards):
+                    out_q.put(sentinel)
+                    return
+                for sample in iterate_shard(shards[i], decode=self.decode):
+                    item = self.transform(sample) if self.transform else sample
+                    out_q.put(item)
+
+        threads = [threading.Thread(target=worker, daemon=True)
+                   for _ in range(self.workers)]
+        for t in threads:
+            t.start()
+
+        buf: List = []
+        done = 0
+        while done < len(threads):
+            item = out_q.get()
+            if item is sentinel:
+                done += 1
+                continue
+            if not self.shuffle_buffer:
+                yield item
+                continue
+            if len(buf) < self.shuffle_buffer:
+                buf.append(item)
+            else:
+                j = int(rng.integers(len(buf)))
+                buf[j], item = item, buf[j]
+                yield item
+        if buf:
+            rng.shuffle(buf)
+            yield from buf
+        for t in threads:
+            t.join()
+
+
+class StreamingBatcher:
+    """Batch an iterable dataset; re-iterating starts the next epoch."""
+
+    def __init__(self, dataset, batch_size: int, *, drop_last: bool = True,
+                 collate_fn=None):
+        from vit_tpu.data.loader import default_collate
+
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.drop_last = drop_last
+        self.collate_fn = collate_fn or default_collate
+
+    def __iter__(self):
+        batch = []
+        for item in self.dataset:
+            batch.append(item)
+            if len(batch) == self.batch_size:
+                yield self.collate_fn(batch)
+                batch = []
+        if batch and not self.drop_last:
+            yield self.collate_fn(batch)
+
+
+def streaming_image_loader(shard_paths, image_size: int, batch_size: int, *,
+                           train: bool = True, seed: int = 0,
+                           shuffle_buffer: int = 1000, workers: int = 4,
+                           shard_id: int = 0, num_shards: int = 1,
+                           native: "bool | None" = None):
+    """Streaming jpg+cls shards → (images NHWC fp32, labels) batches — the
+    ImageNet-scale replacement for WdsImageClassification + map DataLoader.
+
+    native=True (or None with the C++ library available) streams RAW jpeg bytes
+    through the shuffle buffer and decodes whole batches in the native threaded
+    pipeline (native/image_pipeline.cc: libjpeg decode + resize/crop/flip +
+    normalize) — the per-sample PIL path is the fallback."""
+    import zlib
+
+    from vit_tpu.data import native as native_mod
+
+    use_native = native_mod.is_available() if native is None else native
+    if use_native:
+        def transform(sample):
+            return (sample["jpg"],
+                    np.int32(int(sample.get("cls", b"0").decode())))
+
+        batch_counter = [seed]
+
+        def collate(samples):
+            jpegs = [s[0] for s in samples]
+            labels = np.asarray([s[1] for s in samples], np.int32)
+            batch_counter[0] += 1
+            images = native_mod.decode_batch(jpegs, image_size, train=train,
+                                             seed=batch_counter[0])
+            return images, labels
+
+        ds = StreamingWebDataset(
+            shard_paths, shuffle_buffer=shuffle_buffer if train else 0,
+            seed=seed, shard_id=shard_id, num_shards=num_shards,
+            workers=workers, transform=transform, decode=False)
+        return StreamingBatcher(ds, batch_size, drop_last=train,
+                                collate_fn=collate)
+
+    from vit_tpu.data.transforms import eval_transform, train_transform
+
+    def transform(sample):
+        img = sample["jpg"]
+        if train:
+            # per-sample deterministic stream — safe across worker threads
+            rng = np.random.default_rng(
+                (seed, zlib.crc32(sample["__key__"].encode())))
+            arr = train_transform(img, image_size, rng)
+        else:
+            arr = eval_transform(img, image_size)
+        return arr.astype(np.float32), np.int32(sample.get("cls", 0))
+
+    ds = StreamingWebDataset(shard_paths, shuffle_buffer=shuffle_buffer if train
+                             else 0, seed=seed, shard_id=shard_id,
+                             num_shards=num_shards, workers=workers,
+                             transform=transform)
+    return StreamingBatcher(ds, batch_size, drop_last=train)
 
 
 class WebDataset:

@@ -62,6 +62,11 @@ def make_dp_tokenizer_train_step(model, mesh: Mesh, *,
             loss_fn, has_aux=True)(state.params)
         grads = psum_grads(grads, axis)                 # DP gradient sync
         state = state.apply_gradients(grads=grads)
+        from vit_tpu.train.optim import last_grad_norm
+
+        gn = last_grad_norm(state.opt_state)
+        if gn is not None:
+            metrics["train/grad_norm"] = gn
         local_usage = usage.at[indices.reshape(-1)].set(1.0)
         usage = global_codebook_usage(local_usage, axis)  # cross-replica union
         metrics = jax.tree.map(lambda m: jax.lax.pmean(m, axis), metrics)

@@ -118,6 +118,16 @@ def run_tokenizer_training(args, model, model_config, train_loader, *,
                 logger.log_images({"images": jax.device_get(images[:4]),
                                    "reconstructions": jax.device_get(recon[:4])},
                                   step=int(state.step))
+                # periodic per-layer param norms (the wandb.watch-equivalent,
+                # reference train_tatitok.py:155; grad_norm is in every step's
+                # metrics already)
+                from vit_tpu.utils.metrics import tree_norms
+
+                norms = jax.jit(lambda p: tree_norms(p, "param_norm"))(
+                    state.params)
+                logger.log({k: float(v) for k, v in
+                            jax.device_get(norms).items()},
+                           step=int(state.step))
                 usage = usage * 0.0
             st = time.time()
 

@@ -16,7 +16,7 @@ the behavior the code plainly intended.
 from __future__ import annotations
 
 import math
-from typing import Callable, Optional
+from typing import Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -46,6 +46,51 @@ def get_lr_schedule(lr: float, warmup_steps: int, train_steps: int,
     return schedule
 
 
+class ClipWithNormState(NamedTuple):
+    """State of clip_by_global_norm_recording: last observed pre-clip grad norm
+    (the per-step wandb.watch-equivalent scalar, exposed for FREE — the clip had
+    to compute it anyway; reading it from opt_state avoids a second full pass
+    over the gradients)."""
+
+    grad_norm: jnp.ndarray
+
+
+def clip_by_global_norm_recording(max_norm: float) -> optax.GradientTransformation:
+    """optax.clip_by_global_norm semantics, with the computed norm kept in state."""
+
+    def init_fn(params):
+        del params
+        return ClipWithNormState(jnp.zeros((), jnp.float32))
+
+    def update_fn(updates, state, params=None):
+        del params
+        g_norm = optax.global_norm(updates)
+        # bit-identical to optax.clip_by_global_norm's update
+        trigger = jnp.squeeze(g_norm < max_norm)
+        updates = jax.tree.map(
+            lambda t: jax.lax.select(trigger, t,
+                                     (t / g_norm.astype(t.dtype)) * max_norm),
+            updates)
+        return updates, ClipWithNormState(g_norm.astype(jnp.float32))
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def last_grad_norm(opt_state) -> Optional[jnp.ndarray]:
+    """Fish the recorded pre-clip gradient norm out of a (possibly nested)
+    optimizer state tree; None if no recording clip is in the chain.
+    optax states are nested (named)tuples — walk generically."""
+    found = []
+    stack = [opt_state]
+    while stack:
+        node = stack.pop()
+        if isinstance(node, ClipWithNormState):
+            found.append(node.grad_norm)
+        elif isinstance(node, (tuple, list)):
+            stack.extend(node)
+    return found[0] if found else None
+
+
 def make_optimizer(lr: float, warmup_steps: int, train_steps: int, min_lr: float,
                    weight_decay: float, *, clip_norm: Optional[float] = 1.0,
                    weight_decay_mask=None, b1: float = 0.9,
@@ -54,7 +99,7 @@ def make_optimizer(lr: float, warmup_steps: int, train_steps: int, min_lr: float
     schedule = get_lr_schedule(lr, warmup_steps, train_steps, min_lr)
     chain = []
     if clip_norm is not None:
-        chain.append(optax.clip_by_global_norm(clip_norm))
+        chain.append(clip_by_global_norm_recording(clip_norm))
     chain.append(optax.adamw(
         learning_rate=schedule,
         b1=b1, b2=b2, eps=1e-8,

@@ -15,6 +15,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
+from vit_tpu.train.optim import last_grad_norm
 from vit_tpu.train.state import TrainState
 
 
@@ -34,7 +35,11 @@ def make_classifier_train_step(model) -> Callable:
         (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         state = state.apply_gradients(grads=grads)
         acc = (jnp.argmax(logits, -1) == labels).mean()
-        return state, {"train/loss": loss, "train/acc": acc}
+        metrics = {"train/loss": loss, "train/acc": acc}
+        gn = last_grad_norm(state.opt_state)
+        if gn is not None:  # free: the clip transform computed it anyway
+            metrics["train/grad_norm"] = gn
+        return state, metrics
 
     return train_step
 
@@ -76,6 +81,11 @@ def make_tokenizer_train_step(model, *, perceptual_loss_fn: Optional[Callable] =
         (_, (indices, metrics, recon)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
         state = state.apply_gradients(grads=grads)
+        # wandb.watch-equivalent scalar (reference train_tatitok.py:155), read
+        # from the recording clip's state — zero extra gradient passes
+        gn = last_grad_norm(state.opt_state)
+        if gn is not None:
+            metrics["train/grad_norm"] = gn
         usage = usage.at[indices.reshape(-1)].set(1.0)
         metrics["train/codebook_usage"] = usage.mean()
         return state, usage, metrics, recon

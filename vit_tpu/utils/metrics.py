@@ -21,3 +21,23 @@ def perceptual_distance(perceptual_loss, a: jax.Array, b: jax.Array) -> jax.Arra
     """Scalar perceptual distance using a PerceptualLoss instance (ConvNeXt-S logit
     MSE — the quantity the reference trains against)."""
     return perceptual_loss(a, b)
+
+
+def global_norm(tree) -> jax.Array:
+    """Global L2 norm of a pytree (what clip_by_global_norm computes)."""
+    leaves = jax.tree_util.tree_leaves(tree)
+    return jnp.sqrt(sum(jnp.sum(jnp.square(x.astype(jnp.float32)))
+                        for x in leaves))
+
+
+def tree_norms(tree, prefix: str) -> dict:
+    """Per-layer L2 norms, flattened to '<prefix>/<param/path>' scalars — the
+    wandb.watch-equivalent observability surface (reference train_tatitok.py:155
+    watches gradients; here both param and grad norms are loggable scalars)."""
+    out = {}
+    for path, leaf in jax.tree_util.tree_leaves_with_path(tree):
+        name = "/".join(str(getattr(p, "key", getattr(p, "idx", p)))
+                        for p in path)
+        out[f"{prefix}/{name}"] = jnp.linalg.norm(
+            leaf.astype(jnp.float32).reshape(-1))
+    return out
