@@ -72,7 +72,7 @@ def main():
     if args.dataset == 'synthetic':
         train_loader = SyntheticImageLoader(args.image_size, args.bs,
                                             steps_per_epoch=args.steps_per_epoch,
-                                            seed=args.seed)
+                                            seed=args.seed, mode='shapes')
     else:
         from vit_tpu.data.imagenet import get_imagenet_loaders
 

@@ -112,7 +112,7 @@ def make_code_loader(args):
 
             img_loader = SyntheticImageLoader(cfg.image_size, args.bs,
                                               steps_per_epoch=args.steps_per_epoch,
-                                              seed=args.seed)
+                                              seed=args.seed, mode='shapes')
         else:
             from vit_tpu.data.imagenet import get_imagenet_loaders
 

@@ -80,7 +80,7 @@ def get_loader(args):
     if args.dataset == 'synthetic':
         return SyntheticImageLoader(args.image_size, args.bs // args.micro_steps,
                                     steps_per_epoch=args.steps_per_epoch,
-                                    seed=args.seed)
+                                    seed=args.seed, mode='shapes')
     if args.dataset == 'imagenet':
         from vit_tpu.data.imagenet import get_imagenet_loaders
 

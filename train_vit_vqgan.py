@@ -61,7 +61,7 @@ def get_loader(args):
     if args.dataset == 'synthetic':
         return SyntheticImageLoader(args.image_size, args.bs,
                                     steps_per_epoch=args.steps_per_epoch,
-                                    seed=args.seed)
+                                    seed=args.seed, mode='shapes')
     from vit_tpu.data.imagenet import get_imagenet_loaders
 
     return get_imagenet_loaders(args.image_size, args.bs, data_dir=args.data_dir)[0]

@@ -35,6 +35,9 @@ _EXPORTS = {
     "TATiTokConfig": "vit_tpu.models.tatitok",
     "FrozenTokenizer": "vit_tpu.models.pretrained",
     "get_titok_tokenizer": "vit_tpu.models.pretrained",
+    "LlamaGenVQ": "vit_tpu.models.llamagen_vq",
+    "LlamaGenVQConfig": "vit_tpu.models.llamagen_vq",
+    "load_llamagen_vq": "vit_tpu.models.llamagen_vq",
     # core
     "Transformer": "vit_tpu.core.transformer",
     "TransformerConfig": "vit_tpu.core.config",
@@ -48,6 +51,9 @@ _EXPORTS = {
     "TrainState": "vit_tpu.train.state",
     "make_optimizer": "vit_tpu.train.optim",
     "Checkpointer": "vit_tpu.train.checkpoint",
+    # data
+    "StreamingWebDataset": "vit_tpu.data.wds",
+    "streaming_image_loader": "vit_tpu.data.wds",
     # parallel
     "make_mesh": "vit_tpu.parallel.mesh",
 }

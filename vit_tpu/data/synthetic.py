@@ -12,22 +12,43 @@ import numpy as np
 
 
 class SyntheticImageLoader:
-    """Yields (images NHWC float32, int labels) batches, deterministic per epoch."""
+    """Yields (images NHWC float32, int labels) batches, deterministic per epoch.
+
+    mode="noise": i.i.d. standard-normal pixels — fine for throughput smoke and
+    classifier plumbing, but information-theoretically INCOMPRESSIBLE, so any
+    tokenizer trained on it plateaus at MSE ≈ pixel variance (≈1.0) by
+    construction. mode="shapes": low-entropy random-rectangle images in [0,1]
+    (vit_tpu/data/shapes_demo.py) where reconstruction loss genuinely descends —
+    use this to validate tokenizer training end-to-end."""
 
     def __init__(self, image_size: int, batch_size: int, *, num_classes: int = 1000,
-                 in_channels: int = 3, steps_per_epoch: int = 50, seed: int = 0):
+                 in_channels: int = 3, steps_per_epoch: int = 50, seed: int = 0,
+                 mode: str = "noise"):
         self.image_size = image_size
         self.batch_size = batch_size
         self.num_classes = num_classes
         self.in_channels = in_channels
         self.steps_per_epoch = steps_per_epoch
         self.seed = seed
+        self.mode = mode
+        self._epoch = 0
 
     def __len__(self):
         return self.steps_per_epoch
 
     def __iter__(self):
-        rng = np.random.default_rng(self.seed)
+        rng = np.random.default_rng((self.seed, self._epoch))
+        self._epoch += 1
+        if self.mode == "shapes":
+            from vit_tpu.data.shapes_demo import _draw_sample
+
+            for _ in range(self.steps_per_epoch):
+                images = np.stack([_draw_sample(rng, self.image_size)
+                                   for _ in range(self.batch_size)])
+                labels = rng.integers(0, self.num_classes, self.batch_size,
+                                      dtype=np.int32)
+                yield images.astype(np.float32), labels
+            return
         for _ in range(self.steps_per_epoch):
             images = rng.standard_normal(
                 (self.batch_size, self.image_size, self.image_size,
