@@ -62,17 +62,68 @@ class DWConv7(nn.Module):
         return out + bias.astype(out.dtype)
 
 
+class _LNParams(nn.Module):
+    """Param holder matching nn.LayerNorm's tree ({scale, bias}) for the fused path."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        return (self.param("scale", nn.initializers.ones, (self.dim,)),
+                self.param("bias", nn.initializers.zeros, (self.dim,)))
+
+
+class _DenseParams(nn.Module):
+    """Param holder matching nn.Dense's tree ({kernel, bias}) for the fused path."""
+
+    din: int
+    dout: int
+
+    @nn.compact
+    def __call__(self):
+        return (self.param("kernel", nn.initializers.lecun_normal(),
+                           (self.din, self.dout)),
+                self.param("bias", nn.initializers.zeros, (self.dout,)))
+
+
 class ConvNeXtBlock(nn.Module):
-    """7×7 depthwise conv → LN → 4× MLP with GELU → layer-scale, residual."""
+    """7×7 depthwise conv → LN → 4× MLP with GELU → layer-scale, residual.
+
+    mlp_impl: "fused" runs LN→pwconv1→GELU→pwconv2→γ→residual as ONE Pallas
+    kernel (vit_tpu/kernels/convnext_block.py — VMEM-resident (N,4C) intermediate,
+    no LN-stats HBM pass; valid ONLY for the frozen perceptual use: parameter
+    gradients are zero by contract). "xla" is the reference-shaped unfused path.
+    "auto" (default) = fused on the TPU backend where C ≤ 384, xla elsewhere
+    (interpret-mode fusion on the CPU test mesh would be needlessly slow for the
+    full 36-block net; the kernel itself is parity-tested in interpret mode)."""
 
     dim: int
     dtype: jnp.dtype = jnp.float32
     dw_impl: str = "lax"
+    mlp_impl: str = "auto"
 
     @nn.compact
     def __call__(self, x):
         h = DWConv7(self.dim, dtype=self.dtype, impl=self.dw_impl,
                     name="dwconv")(x)
+        from vit_tpu.kernels.convnext_block import (
+            frozen_convnext_block_tail, fused_supported)
+
+        use_fused = (self.mlp_impl == "fused"
+                     or (self.mlp_impl == "auto"
+                         and jax.default_backend() == "tpu"))
+        b, hh, ww, c = h.shape
+        if use_fused and fused_supported(c, 4 * c):
+            lns, lnb = _LNParams(c, name="norm")()
+            w1, b1 = _DenseParams(c, 4 * c, name="pwconv1")()
+            w2, b2 = _DenseParams(4 * c, c, name="pwconv2")()
+            gamma = self.param("gamma", nn.initializers.constant(1e-6),
+                               (self.dim,), jnp.float32)
+            y = frozen_convnext_block_tail(
+                h.reshape(b * hh * ww, c),
+                x.astype(h.dtype).reshape(b * hh * ww, c),
+                lns, lnb, w1, b1, w2, b2, gamma, eps=1e-6)
+            return y.reshape(b, hh, ww, c)
         # LN output in compute dtype (flax upcasts half dtypes to fp32 for the
         # statistics) — fp32 LN outputs doubled HBM traffic on this
         # bandwidth-bound net for no accuracy benefit.
@@ -80,7 +131,6 @@ class ConvNeXtBlock(nn.Module):
         # conv's spatial layout otherwise propagates into the pointwise matmuls
         # and fragments their M dimension (profiled at ~34 TF/s vs ~150 on the
         # transformer's matmuls); the flatten puts a layout boundary there.
-        b, hh, ww, c = h.shape
         h = h.reshape(b * hh * ww, c)
         h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(h)
         h = nn.Dense(4 * self.dim, dtype=self.dtype, name="pwconv1")(h)
@@ -100,6 +150,7 @@ class ConvNeXt(nn.Module):
     num_classes: int = 1000
     dtype: jnp.dtype = jnp.float32
     dw_impl: str = "lax"
+    mlp_impl: str = "auto"
 
     @nn.compact
     def __call__(self, x):
@@ -115,6 +166,7 @@ class ConvNeXt(nn.Module):
                             name=f"downsample_conv_{stage}")(x)
             for block in range(depth):
                 x = ConvNeXtBlock(dim, dtype=self.dtype, dw_impl=self.dw_impl,
+                                  mlp_impl=self.mlp_impl,
                                   name=f"stage{stage}_block{block}")(x)
         x = jnp.mean(x, axis=(1, 2))  # global average pool
         x = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="head_norm")(x)
@@ -124,14 +176,15 @@ class ConvNeXt(nn.Module):
 class PerceptualLoss:
     """Frozen ConvNeXt-S logit-matching loss (reference perceptual_loss.py:56-70)."""
 
-    def __init__(self, params=None, *, dtype=jnp.float32, dw_impl="lax"):
+    def __init__(self, params=None, *, dtype=jnp.float32, dw_impl="lax",
+                 mlp_impl="auto"):
         # dw_impl: "lax" (default) or "pallas". The Pallas depthwise now has a
         # fully fused backward (kernels/depthwise.py) but measured SLOWER
         # in-context on this chip (flagship profile r2: 69.9 ms/step pallas
         # fwd+bwd vs ~35 ms lax) — the 49-tap MAC loop is VPU-bound while XLA's
         # grouped conv schedules better here. Kept switchable for revisit on
         # full-bandwidth parts.
-        self.model = ConvNeXt(dtype=dtype, dw_impl=dw_impl)
+        self.model = ConvNeXt(dtype=dtype, dw_impl=dw_impl, mlp_impl=mlp_impl)
         self.params = params
 
     @staticmethod
