@@ -57,6 +57,9 @@ def parse_args():
     parser.add_argument('--image_every', type=int, default=5000)
     parser.add_argument('--seed', type=int, default=0)
     parser.add_argument('--no_wandb', action='store_true')
+    parser.add_argument('--loader_backend', type=str, default='threads',
+                        choices=['threads', 'grain'],
+                        help='host input-pipeline backend (grain = Google Grain)')
     parser.add_argument('--profile_dir', type=str, default=None,
                         help='capture a jax.profiler trace of steps 10-15 here')
     args = parser.parse_args()
@@ -73,7 +76,9 @@ def get_loader(args):
         from vit_tpu.data.imagenet import get_imagenet_loaders
 
         return get_imagenet_loaders(args.image_size, args.bs,
-                                    data_dir=args.data_dir)[0]
+                                    data_dir=args.data_dir,
+                                    backend=getattr(args, 'loader_backend',
+                                                    'threads'))[0]
     if args.dataset == 'dmlab':
         assert args.image_size == 64  # reference train_titok.py:120
         from vit_tpu.data.video import get_dmlab_image_loaders

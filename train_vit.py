@@ -70,6 +70,9 @@ def parse_args():
     parser.add_argument('--log_every', type=int, default=100)
     parser.add_argument('--seed', type=int, default=0)
     parser.add_argument('--no_wandb', action='store_true')
+    parser.add_argument('--loader_backend', type=str, default='threads',
+                        choices=['threads', 'grain'],
+                        help='host input-pipeline backend (grain = Google Grain)')
     args = parser.parse_args()
     args.min_lr = args.lr / 10  # reference train_vit.py:72
     return args
@@ -112,7 +115,8 @@ def get_loaders(args):
                 DataLoader(valid_set, 2 * args.bs, shuffle=False, drop_last=False))
     from vit_tpu.data.imagenet import get_imagenet_loaders
 
-    return get_imagenet_loaders(args.image_size, args.bs, data_dir=args.data_dir)
+    return get_imagenet_loaders(args.image_size, args.bs, data_dir=args.data_dir,
+                                backend=args.loader_backend)
 
 
 def main():

@@ -86,13 +86,17 @@ def get_imagenet_loaders(image_size: int, bs: int,
                          data_dir: Optional[str] = None,
                          num_workers: int = 8,
                          shard_id: int = 0, num_shards: int = 1,
-                         use_native: str = "auto"
+                         use_native: str = "auto",
+                         backend: str = "threads"
                          ) -> Tuple[DataLoader, DataLoader]:
     """Loader parity with reference datasets.py:7-28.
 
     use_native: "auto" uses the C++ batch decoder (native/image_pipeline.cc) when the
     library builds; "never" forces the PIL path; "always" errors if unavailable.
+    backend: "threads" (loader.DataLoader) or "grain" (grain_loader.GrainDataLoader);
+    both compose with the native collate.
     """
+    from vit_tpu.data.grain_loader import make_loader
     data_dir = data_dir or '/mnt/data/Public_datasets/imagenet/imagenet_pytorch'
     train_set = ImageFolderDataset(Path(data_dir) / "train", image_size, train=True)
     valid_set = ImageFolderDataset(Path(data_dir) / "val", image_size, train=False)
@@ -106,22 +110,24 @@ def get_imagenet_loaders(image_size: int, bs: int,
             raise RuntimeError("native image pipeline unavailable")
 
     if native_on:
-        train_loader = DataLoader(
-            RawJpegDataset(train_set), bs, shuffle=True, drop_last=True,
-            num_workers=num_workers, prefetch=2,
+        train_loader = make_loader(
+            RawJpegDataset(train_set), bs, backend=backend, shuffle=True,
+            drop_last=True, num_workers=num_workers, prefetch=2,
             collate_fn=_native_collate(image_size, True, num_workers),
             shard_id=shard_id, num_shards=num_shards)
-        valid_loader = DataLoader(
-            RawJpegDataset(valid_set), 2 * bs, shuffle=False, drop_last=False,
-            num_workers=max(1, num_workers // 2),
+        valid_loader = make_loader(
+            RawJpegDataset(valid_set), 2 * bs, backend=backend, shuffle=False,
+            drop_last=False, num_workers=max(1, num_workers // 2),
             collate_fn=_native_collate(image_size, False, num_workers),
             shard_id=shard_id, num_shards=num_shards)
         return train_loader, valid_loader
 
-    train_loader = DataLoader(train_set, bs, shuffle=True, drop_last=True,
-                              num_workers=num_workers, prefetch=2,
-                              shard_id=shard_id, num_shards=num_shards)
-    valid_loader = DataLoader(valid_set, 2 * bs, shuffle=False, drop_last=False,
-                              num_workers=max(1, num_workers // 2),
-                              shard_id=shard_id, num_shards=num_shards)
+    train_loader = make_loader(train_set, bs, backend=backend, shuffle=True,
+                               drop_last=True, num_workers=num_workers,
+                               prefetch=2, shard_id=shard_id,
+                               num_shards=num_shards)
+    valid_loader = make_loader(valid_set, 2 * bs, backend=backend,
+                               shuffle=False, drop_last=False,
+                               num_workers=max(1, num_workers // 2),
+                               shard_id=shard_id, num_shards=num_shards)
     return train_loader, valid_loader
