@@ -410,21 +410,27 @@ def packed_supported(n_heads: int, n_embd: int, seq_len: int,
 
 def _fa_packed_kernel(q_ref, k_ref, v_ref, seed_ref, o_ref, *, scale: float,
                       causal: bool, seq_len: int, block_q: int,
-                      dropout_rate: float, head_dim: int, n_heads: int):
-    """One q block × one 128-lane head-pair block.
-    q_ref (1,BQ,L), k_ref/v_ref (1,Sp,L) — three column-block views into the flat
-    (B,Sp,3D) qkv; o_ref (1,BQ,L); L=128."""
-    b = pl.program_id(0)
+                      dropout_rate: float, head_dim: int, n_heads: int,
+                      bb: int):
+    """One q block × one 128-lane head-pair block × ``bb`` batch elements.
+    q_ref (bb,BQ,L), k_ref/v_ref (bb,Sp,L) — three column-block views into the
+    flat (B,Sp,3D) qkv; o_ref (bb,BQ,L); L=128.
+
+    Head (and batch-sub-block) stages are BATCHED — all units' QKᵀ, then all
+    softmaxes, then all PV — rather than run unit-by-unit: adjacent independent
+    MXU/VPU phases let the compiler overlap the matrix and vector units. With
+    bb=2 there are 4 independent streams per program and half as many programs:
+    measured 0.61 (sequential) → 0.56 (staged) → 0.49 ms/call (staged, bb=2) on
+    the flagship shape. Gated by VMEM: staging keeps bb·hb (BQ,Sp) fp32 planes
+    live (bb chosen in the impl; bb=2 only for Sp ≤ 384 — bb=4 at Sp=320
+    measured 24.2 MB of scoped VMEM, over the 16 MB budget)."""
+    pid_b = pl.program_id(0)
     h2 = pl.program_id(1)
     iq = pl.program_id(2)
-    qp = q_ref[0]                          # (BQ, L)
-    kp = k_ref[0]                          # (Sp, L)
-    vp = v_ref[0]
-    ktp = jnp.swapaxes(kp, 0, 1)           # (L, Sp) — one transpose per pair
-    sp = kp.shape[0]
-    bq = qp.shape[0]
+    sp = k_ref.shape[1]
+    bq = q_ref.shape[1]
     hb = _LANES // head_dim
-    prec = jax.lax.Precision.HIGHEST if qp.dtype == jnp.float32 else None
+    prec = jax.lax.Precision.HIGHEST if q_ref.dtype == jnp.float32 else None
 
     need_mask = causal or seq_len < sp  # static; skip all-true masks
     if need_mask:
@@ -435,48 +441,53 @@ def _fa_packed_kernel(q_ref, k_ref, v_ref, seed_ref, o_ref, *, scale: float,
             valid = jnp.logical_and(valid, col <= row + iq * block_q)
     neg = jnp.finfo(jnp.float32).min
 
-    # Head stages are BATCHED (all heads' QKᵀ, then all softmaxes, then all PV)
-    # rather than run head-by-head: adjacent independent MXU/VPU phases let the
-    # compiler overlap the matrix and vector units (measured 0.61 → 0.54 ms/call
-    # on the flagship shape; the sequential loop serializes MXU behind each
-    # head's softmax). Gated by VMEM: staging keeps hb (BQ,Sp) fp32 planes live.
-    staged = bq * sp <= 512 * 512
+    units = []                             # (bi, j, q, kt, v)
+    for bi in range(bb):
+        qp, kp, vp = q_ref[bi], k_ref[bi], v_ref[bi]
+        ktp = jnp.swapaxes(kp, 0, 1)       # (L, Sp) — one transpose per pair
+        for j in range(hb):
+            lo = j * head_dim
+            units.append((bi, j, qp[:, lo:lo + head_dim],
+                          ktp[lo:lo + head_dim, :], vp[:, lo:lo + head_dim]))
 
-    def scores(j):
-        lo = j * head_dim
-        s = jax.lax.dot_general(qp[:, lo:lo + head_dim], ktp[lo:lo + head_dim, :],
-                                (((1,), (0,)), ((), ())),
+    staged = bb * bq * sp <= 512 * 512
+
+    def scores(u):
+        _, _, q, kt, _ = u
+        s = jax.lax.dot_general(q, kt, (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32,
                                 precision=prec) * scale
         if need_mask:
             s = jnp.where(valid, s, neg)
         return s
 
-    def softmax(j, s):
+    def softmax(u, s):
+        bi, j, _, _, v = u
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s - m)
         l = jnp.sum(p, axis=-1, keepdims=True)
         if dropout_rate > 0.0:
-            hid = b * n_heads + h2 * hb + j
+            hid = (pid_b * bb + bi) * n_heads + h2 * hb + j
             p = p * _dropout_mask(seed_ref, hid, (bq, sp), dropout_rate)
-        return p.astype(vp.dtype), l
+        return p.astype(v.dtype), l
 
-    def pv(j, p, l):
-        v = vp[:, j * head_dim:(j + 1) * head_dim]
-        return jax.lax.dot_general(p, v, (((1,), (0,)), ((), ())),
+    def pv(u, p, l):
+        return jax.lax.dot_general(p, u[4], (((1,), (0,)), ((), ())),
                                    preferred_element_type=jnp.float32,
                                    precision=prec) / l
 
     if staged:
-        ss = [scores(j) for j in range(hb)]
-        pls = [softmax(j, ss[j]) for j in range(hb)]
-        outs = [pv(j, p, l) for j, (p, l) in enumerate(pls)]
+        ss = [scores(u) for u in units]
+        pls = [softmax(u, s) for u, s in zip(units, ss)]
+        outs = [pv(u, p, l) for u, (p, l) in zip(units, pls)]
     else:
         outs = []
-        for j in range(hb):
-            p, l = softmax(j, scores(j))
-            outs.append(pv(j, p, l))
-    o_ref[0] = jnp.concatenate(outs, axis=1).astype(o_ref.dtype)
+        for u in units:
+            p, l = softmax(u, scores(u))
+            outs.append(pv(u, p, l))
+    for bi in range(bb):
+        o_ref[bi] = jnp.concatenate(outs[bi * hb:(bi + 1) * hb],
+                                    axis=1).astype(o_ref.dtype)
 
 
 def _packed_fwd_impl(qkv, seed, n_heads: int, causal: bool, dropout_rate: float):
@@ -500,23 +511,26 @@ def _packed_fwd_impl(qkv, seed, n_heads: int, causal: bool, dropout_rate: float)
     # lanes; q pair h at block h, k at h2+h, v at 2·h2+h. (Mosaic requires the
     # last two BLOCK dims divisible by (8, 128) — a 4D (B,S,3,D) view with a
     # unit block over the size-3 axis is rejected, the flat layout is not.)
+    # bb=2 batch elements per program where VMEM allows (see kernel docstring).
+    bb = 2 if (b % 2 == 0 and sp <= 384) else 1
     out = pl.pallas_call(
         functools.partial(_fa_packed_kernel, scale=scale, causal=causal,
                           seq_len=s, block_q=block_q, dropout_rate=dropout_rate,
-                          head_dim=d, n_heads=n_heads),
-        grid=(b, h2, n_q),
+                          head_dim=d, n_heads=n_heads, bb=bb),
+        grid=(b // bb, h2, n_q),
         in_specs=[
-            pl.BlockSpec((1, block_q, _LANES), lambda b, h, iq: (b, iq, h),
+            pl.BlockSpec((bb, block_q, _LANES), lambda b, h, iq: (b, iq, h),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, sp, _LANES),
+            pl.BlockSpec((bb, sp, _LANES),
                          lambda b, h, iq, h2=h2: (b, 0, h2 + h),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, sp, _LANES),
+            pl.BlockSpec((bb, sp, _LANES),
                          lambda b, h, iq, h2=h2: (b, 0, 2 * h2 + h),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((1, block_q, _LANES), lambda b, h, iq: (b, iq, h),
+        out_specs=pl.BlockSpec((bb, block_q, _LANES),
+                               lambda b, h, iq: (b, iq, h),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, sp, n_embd), qkv.dtype),
         cost_estimate=pl.CostEstimate(
@@ -531,24 +545,27 @@ def _packed_fwd_impl(qkv, seed, n_heads: int, causal: bool, dropout_rate: float)
 
 def _fa_packed_bwd_kernel(q_ref, k_ref, v_ref, do_ref, seed_ref, dqkv_ref, *,
                           scale: float, causal: bool, seq_len: int,
-                          dropout_rate: float, head_dim: int, n_heads: int):
-    """One (batch, head-pair) per program; full sequence in VMEM.
-    q/k/v (1,Sp,L) flat-qkv column views, do (1,Sp,L) → dqkv (1,Sp,3D) written
-    via 128-aligned dynamic lane stores into a block that is REVISITED across the
-    inner head-pair grid dim (constant index map → stays VMEM-resident, one HBM
-    writeback per batch row). Measured: a (B,S,3,D) 4-D output got a T(4,128)
-    layout and cost 1.9× (147.9 → 79.0 ms on the flagship shape); three separate
-    outputs + XLA concat was 1.26× (99.8 ms). Same math as _fa_bwd_kernel."""
-    b = pl.program_id(0)
+                          dropout_rate: float, head_dim: int, n_heads: int,
+                          bb: int):
+    """One (batch sub-block, head-pair) per program; full sequence in VMEM.
+    q/k/v (bb,Sp,L) flat-qkv column views, do (bb,Sp,L) → dqkv (bb,Sp,3D)
+    written via 128-aligned dynamic lane stores into a block that is REVISITED
+    across the inner head-pair grid dim (constant index map → stays
+    VMEM-resident, one HBM writeback per batch row). Measured: a (B,S,3,D) 4-D
+    output got a T(4,128) layout and cost 1.9× (147.9 → 79.0 ms on the flagship
+    shape); three separate outputs + XLA concat was 1.26× (99.8 ms). Same math
+    as _fa_bwd_kernel (incl. the folded-out 1/l normalization).
+
+    Stage-batched across the bb·hb units so MXU matmul phases and VPU
+    softmax/ds phases of different units overlap: 1.54 (sequential) → 1.28
+    (staged) → 1.08 ms/call (staged, bb=2) at the flagship shape. VMEM gates:
+    staging keeps up to 2·bb·hb (Sp,Sp) fp32 planes live; bb=2 only for
+    Sp ≤ 384 (bb=4 at Sp=320 measured 24.2 MB scoped VMEM > 16 MB budget)."""
+    pid_b = pl.program_id(0)
     h2 = pl.program_id(1)
-    qp = q_ref[0]
-    kp = k_ref[0]
-    vp = v_ref[0]
-    dop = do_ref[0]
-    ktp = jnp.swapaxes(kp, 0, 1)
-    sp = qp.shape[0]
+    sp = q_ref.shape[1]
     hb = _LANES // head_dim
-    prec = jax.lax.Precision.HIGHEST if qp.dtype == jnp.float32 else None
+    prec = jax.lax.Precision.HIGHEST if q_ref.dtype == jnp.float32 else None
 
     need_mask = causal or seq_len < sp  # static; skip all-true masks
     if need_mask:
@@ -559,37 +576,41 @@ def _fa_packed_bwd_kernel(q_ref, k_ref, v_ref, do_ref, seed_ref, dqkv_ref, *,
             valid = jnp.logical_and(valid, col <= row)
     neg = jnp.finfo(jnp.float32).min
 
-    # Stage-batched across heads so MXU matmul phases and VPU softmax/ds phases
-    # of different heads overlap (measured 1.48 → 1.21 ms/call at the flagship
-    # shape; the head-sequential loop serializes the units). VMEM gate: staging
-    # keeps up to 2·hb (Sp,Sp) fp32 planes live at once.
-    staged = sp <= 512
+    units = []                             # (bi, j, q, k, kt, v, do)
+    for bi in range(bb):
+        qp, kp, vp, dop = q_ref[bi], k_ref[bi], v_ref[bi], do_ref[bi]
+        ktp = jnp.swapaxes(kp, 0, 1)
+        for j in range(hb):
+            lo = j * head_dim
+            units.append((bi, j, qp[:, lo:lo + head_dim],
+                          kp[:, lo:lo + head_dim], ktp[lo:lo + head_dim, :],
+                          vp[:, lo:lo + head_dim], dop[:, lo:lo + head_dim]))
 
-    def scores(j):
-        lo = j * head_dim
-        s = jax.lax.dot_general(qp[:, lo:lo + head_dim], ktp[lo:lo + head_dim, :],
-                                (((1,), (0,)), ((), ())),
+    staged = bb * sp <= 2 * 512
+
+    def scores(u):
+        _, _, q, _, kt, _, _ = u
+        s = jax.lax.dot_general(q, kt, (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32,
                                 precision=prec) * scale
         if need_mask:
             s = jnp.where(valid, s, neg)
         return s
 
-    def softmax(j, s):
+    def softmax(u, s):
+        bi, j = u[0], u[1]
         m = jnp.max(s, axis=-1, keepdims=True)
         ph = jnp.exp(s - m)            # unnormalized; see _fa_bwd_kernel note
         l = jnp.sum(ph, axis=-1, keepdims=True)
         if dropout_rate > 0.0:
-            hid = b * n_heads + h2 * hb + j
+            hid = (pid_b * bb + bi) * n_heads + h2 * hb + j
             dmask = _dropout_mask(seed_ref, hid, (sp, sp), dropout_rate)
         else:
             dmask = None
         return ph, 1.0 / l, dmask
 
-    def dv_dp(j, ph, linv, dmask):
-        lo = j * head_dim
-        v = vp[:, lo:lo + head_dim]
-        do = dop[:, lo:lo + head_dim]
+    def dv_dp(u, ph, linv, dmask):
+        _, _, _, _, _, v, do = u
         ph_eff = ph if dmask is None else ph * dmask
         pc = ph_eff.astype(v.dtype)
         dol = (do.astype(jnp.float32) * linv).astype(v.dtype)
@@ -605,14 +626,13 @@ def _fa_packed_bwd_kernel(q_ref, k_ref, v_ref, do_ref, seed_ref, dqkv_ref, *,
             dp = dp * dmask
         return dv, dp
 
-    def dscore(ph, linv, dp):
+    def dscore(u, ph, linv, dp):
         deltah = jnp.sum(ph * dp, axis=-1, keepdims=True)
-        return (ph * ((dp - deltah * linv) * (scale * linv))).astype(qp.dtype)
+        return (ph * ((dp - deltah * linv)
+                      * (scale * linv))).astype(u[2].dtype)
 
-    def dq_dk(j, ds):
-        lo = j * head_dim
-        q = qp[:, lo:lo + head_dim]
-        k = kp[:, lo:lo + head_dim]
+    def dq_dk(u, ds):
+        _, _, q, k, _, _, _ = u
         dq = jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32,
                                  precision=prec)
@@ -623,29 +643,32 @@ def _fa_packed_bwd_kernel(q_ref, k_ref, v_ref, do_ref, seed_ref, dqkv_ref, *,
         return dq, dk
 
     if staged:
-        sms = [softmax(j, scores(j)) for j in range(hb)]
-        vps = [dv_dp(j, *sm) for j, sm in enumerate(sms)]
-        dss = [dscore(sm[0], sm[1], vp_[1]) for sm, vp_ in zip(sms, vps)]
-        qks = [dq_dk(j, ds) for j, ds in enumerate(dss)]
+        sms = [softmax(u, scores(u)) for u in units]
+        vps = [dv_dp(u, *sm) for u, sm in zip(units, sms)]
+        dss = [dscore(u, sm[0], sm[1], vp_[1])
+               for u, sm, vp_ in zip(units, sms, vps)]
+        qks = [dq_dk(u, ds) for u, ds in zip(units, dss)]
         dqs = [qk[0] for qk in qks]
         dks = [qk[1] for qk in qks]
         dvs = [vp_[0] for vp_ in vps]
     else:
         dqs, dks, dvs = [], [], []
-        for j in range(hb):
-            ph, linv, dmask = softmax(j, scores(j))
-            dv, dp = dv_dp(j, ph, linv, dmask)
-            dq, dk = dq_dk(j, dscore(ph, linv, dp))
+        for u in units:
+            ph, linv, dmask = softmax(u, scores(u))
+            dv, dp = dv_dp(u, ph, linv, dmask)
+            dq, dk = dq_dk(u, dscore(u, ph, linv, dp))
             dqs.append(dq)
             dks.append(dk)
             dvs.append(dv)
     h2n = (n_heads * head_dim) // _LANES
-    dqkv_ref[0, :, pl.ds(h2 * _LANES, _LANES)] = (
-        jnp.concatenate(dqs, axis=1).astype(dqkv_ref.dtype))
-    dqkv_ref[0, :, pl.ds((h2n + h2) * _LANES, _LANES)] = (
-        jnp.concatenate(dks, axis=1).astype(dqkv_ref.dtype))
-    dqkv_ref[0, :, pl.ds((2 * h2n + h2) * _LANES, _LANES)] = (
-        jnp.concatenate(dvs, axis=1).astype(dqkv_ref.dtype))
+    for bi in range(bb):
+        sl = slice(bi * hb, (bi + 1) * hb)
+        dqkv_ref[bi, :, pl.ds(h2 * _LANES, _LANES)] = (
+            jnp.concatenate(dqs[sl], axis=1).astype(dqkv_ref.dtype))
+        dqkv_ref[bi, :, pl.ds((h2n + h2) * _LANES, _LANES)] = (
+            jnp.concatenate(dks[sl], axis=1).astype(dqkv_ref.dtype))
+        dqkv_ref[bi, :, pl.ds((2 * h2n + h2) * _LANES, _LANES)] = (
+            jnp.concatenate(dvs[sl], axis=1).astype(dqkv_ref.dtype))
 
 
 def _packed_bwd_impl(qkv, g, seed, n_heads: int, causal: bool,
@@ -662,24 +685,26 @@ def _packed_bwd_impl(qkv, g, seed, n_heads: int, causal: bool,
         g = jnp.pad(g, ((0, 0), (0, sp - s), (0, 0)))
     interpret = jax.default_backend() != "tpu"
 
+    # bb=2 batch elements per program where VMEM allows (see kernel docstring).
+    bb = 2 if (b % 2 == 0 and sp <= 384) else 1
     dqkv = pl.pallas_call(
         functools.partial(_fa_packed_bwd_kernel, scale=scale, causal=causal,
                           seq_len=s, dropout_rate=dropout_rate, head_dim=d,
-                          n_heads=n_heads),
-        grid=(b, h2),
+                          n_heads=n_heads, bb=bb),
+        grid=(b // bb, h2),
         in_specs=[
-            pl.BlockSpec((1, sp, _LANES), lambda b, h: (b, 0, h),
+            pl.BlockSpec((bb, sp, _LANES), lambda b, h: (b, 0, h),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, sp, _LANES), lambda b, h, h2=h2: (b, 0, h2 + h),
+            pl.BlockSpec((bb, sp, _LANES), lambda b, h, h2=h2: (b, 0, h2 + h),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, sp, _LANES),
+            pl.BlockSpec((bb, sp, _LANES),
                          lambda b, h, h2=h2: (b, 0, 2 * h2 + h),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, sp, _LANES), lambda b, h: (b, 0, h),
+            pl.BlockSpec((bb, sp, _LANES), lambda b, h: (b, 0, h),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((1, sp, 3 * n_embd), lambda b, h: (b, 0, 0),
+        out_specs=pl.BlockSpec((bb, sp, 3 * n_embd), lambda b, h: (b, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, sp, three_d), qkv.dtype),
         cost_estimate=pl.CostEstimate(
