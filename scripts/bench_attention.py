@@ -63,21 +63,24 @@ def main():
 
     from vit_tpu.kernels.attention import _packed_bwd_cp, _packed_fwd_cp
 
-    fwd_call = _packed_fwd_cp(h, False, 0.0)
-    bwd_call = _packed_bwd_cp(h, False, 0.0)
+    fwd_call = _packed_fwd_cp(h, False, 0.0, True)
+    bwd_call = _packed_bwd_cp(h, False, 0.0, True)
+    bias = jax.random.normal(jax.random.PRNGKey(2), (3 * n_embd,),
+                             jnp.bfloat16) * 0.1
 
     @jax.jit
     def fwd_chain(x):
         def body(_, x):
-            o = fwd_call(x, seed)
+            o = fwd_call(x, bias, seed)
             return x.at[0, 0, 0].set(o[0, 0, 0] * 1e-24 + x[0, 0, 0])
         return jax.lax.fori_loop(0, CHAIN, body, x)
 
     @jax.jit
     def bwd_chain(x, g):
         def body(_, x):
-            dqkv = bwd_call(x, g, seed)
-            return x.at[0, 0, 0].set(dqkv[0, 0, 0] * 1e-24 + x[0, 0, 0])
+            dqkv, db = bwd_call(x, g, bias, seed)
+            return x.at[0, 0, 0].set(dqkv[0, 0, 0] * 1e-24
+                                     + db[0] * 1e-24 + x[0, 0, 0])
         return jax.lax.fori_loop(0, CHAIN, body, x)
 
     g = jax.random.normal(jax.random.PRNGKey(1), (b, s, n_embd), jnp.bfloat16)

@@ -183,3 +183,50 @@ def test_fused_qkv_attention_fallback_matches():
     out = fused_qkv_attention(qkv, 2, causal=True, impl="xla")
     ref = _unpack_ref(qkv, 2, causal=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=TOL, rtol=TOL)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_packed_biased_matches_add_then_attend(causal):
+    """qkv_bias path: in-kernel bias add ≡ adding the bias before the kernel,
+    and the kernel-emitted bias gradient ≡ autodiff through the explicit add."""
+    from vit_tpu.kernels.attention import flash_attention_packed
+
+    n_heads = 2
+    rng = jax.random.PRNGKey(12)
+    qkv_nb = jax.random.normal(rng, (4, 40, 3 * 128))  # bb=2 sub-blocks
+    bias = jax.random.normal(jax.random.PRNGKey(13), (3 * 128,)) * 0.3
+
+    out = flash_attention_packed(qkv_nb, n_heads, causal=causal,
+                                 qkv_bias=bias)
+    ref = flash_attention_packed(qkv_nb + bias, n_heads, causal=causal)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=TOL,
+                               rtol=TOL)
+
+    def loss_kernel(x, b):
+        return jnp.sum(flash_attention_packed(x, n_heads, causal=causal,
+                                              qkv_bias=b) ** 2)
+
+    def loss_ref(x, b):
+        return jnp.sum(flash_attention_packed(x + b, n_heads,
+                                              causal=causal) ** 2)
+
+    gx1, gb1 = jax.grad(loss_kernel, argnums=(0, 1))(qkv_nb, bias)
+    gx2, gb2 = jax.grad(loss_ref, argnums=(0, 1))(qkv_nb, bias)
+    np.testing.assert_allclose(np.asarray(gx1), np.asarray(gx2), atol=TOL,
+                               rtol=TOL)
+    np.testing.assert_allclose(np.asarray(gb1), np.asarray(gb2), atol=1e-4,
+                               rtol=1e-4)
+
+
+def test_packed_biased_odd_batch_bb1():
+    """Odd batch falls back to bb=1; db accumulation must still be exact."""
+    from vit_tpu.kernels.attention import flash_attention_packed
+
+    qkv_nb = jax.random.normal(jax.random.PRNGKey(14), (3, 24, 3 * 128))
+    bias = jax.random.normal(jax.random.PRNGKey(15), (3 * 128,)) * 0.1
+    gb1 = jax.grad(lambda b: jnp.sum(flash_attention_packed(
+        qkv_nb, 2, qkv_bias=b) ** 2))(bias)
+    gb2 = jax.grad(lambda b: jnp.sum(flash_attention_packed(
+        qkv_nb + b, 2) ** 2))(bias)
+    np.testing.assert_allclose(np.asarray(gb1), np.asarray(gb2), atol=1e-4,
+                               rtol=1e-4)

@@ -27,7 +27,26 @@ from flax import linen as nn
 
 from vit_tpu.core.config import TransformerConfig
 from vit_tpu.ops.attention import fused_qkv_attention, multi_head_attention
-from vit_tpu.utils.init import dense
+from vit_tpu.utils.init import dense, torch_bias_init, torch_kernel_init
+
+
+class _ProjParams(nn.Module):
+    """Param holder with nn.Dense's exact tree ({kernel, bias}) and torch
+    nn.Linear init, for paths that apply the kernel and bias separately (the
+    packed attention adds the qkv bias in-kernel so its backward can emit the
+    bias gradient from VMEM — see kernels/attention.py)."""
+
+    features: int
+    fan_in: int
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", torch_kernel_init,
+                            (self.fan_in, self.features), self.param_dtype)
+        bias = self.param("bias", torch_bias_init(self.fan_in),
+                          (self.features,), self.param_dtype)
+        return kernel, bias
 
 
 class LayerNorm(nn.Module):
@@ -69,9 +88,15 @@ class Attention(nn.Module):
     @nn.compact
     def __call__(self, x, deterministic: bool = True, decode_pos=None):
         cfg = self.config
-        qkv = dense(3 * cfg.n_embd, cfg.n_embd, dtype=cfg.dtype,
-                    param_dtype=cfg.param_dtype, name="qkv")(x)
+        # Same param tree as dense(name="qkv") but applied with the bias split
+        # out: the packed Pallas path adds it in-kernel and emits its gradient
+        # from a VMEM accumulator instead of an XLA full-dqkv reduction pass.
+        kernel, bias = _ProjParams(3 * cfg.n_embd, cfg.n_embd,
+                                   param_dtype=cfg.param_dtype, name="qkv")()
+        dt = cfg.dtype or jnp.result_type(x.dtype, kernel.dtype)
+        qkv_nb = jnp.dot(x.astype(dt), kernel.astype(dt))
         if decode_pos is not None:
+            qkv = qkv_nb + bias.astype(dt)
             q, k, v = rearrange(qkv, "b n (three h d) -> three b h n d",
                                 three=3, h=cfg.n_heads)
             out = self._decode(q, k, v, decode_pos)
@@ -82,11 +107,12 @@ class Attention(nn.Module):
                            if dropout_rate > 0.0 else None)
             # Packed path: head split/merge via kernel BlockSpecs, no rearranges.
             out = fused_qkv_attention(
-                qkv, cfg.n_heads,
+                qkv_nb, cfg.n_heads,
                 causal=cfg.causal,
                 dropout_rate=dropout_rate,
                 dropout_rng=dropout_rng,
                 impl=cfg.attn_impl,
+                qkv_bias=bias,
             )
         if cfg.attn_out_proj:
             out = dense(cfg.n_embd, cfg.n_embd, dtype=cfg.dtype,

@@ -408,10 +408,10 @@ def packed_supported(n_heads: int, n_embd: int, seq_len: int,
     return True
 
 
-def _fa_packed_kernel(q_ref, k_ref, v_ref, seed_ref, o_ref, *, scale: float,
-                      causal: bool, seq_len: int, block_q: int,
+def _fa_packed_kernel(q_ref, k_ref, v_ref, bias_ref, seed_ref, o_ref, *,
+                      scale: float, causal: bool, seq_len: int, block_q: int,
                       dropout_rate: float, head_dim: int, n_heads: int,
-                      bb: int):
+                      bb: int, has_bias: bool):
     """One q block × one 128-lane head-pair block × ``bb`` batch elements.
     q_ref (bb,BQ,L), k_ref/v_ref (bb,Sp,L) — three column-block views into the
     flat (B,Sp,3D) qkv; o_ref (bb,BQ,L); L=128.
@@ -441,9 +441,21 @@ def _fa_packed_kernel(q_ref, k_ref, v_ref, seed_ref, o_ref, *, scale: float,
             valid = jnp.logical_and(valid, col <= row + iq * block_q)
     neg = jnp.finfo(jnp.float32).min
 
+    # With has_bias the three 128-lane blocks are the UNBIASED projection; the
+    # qkv bias segments are added here in VMEM so the backward can emit the bias
+    # gradient without XLA re-reading the (B,S,3D) dqkv just to column-sum it.
+    h2n = n_heads * head_dim // _LANES
     units = []                             # (bi, j, q, kt, v)
     for bi in range(bb):
         qp, kp, vp = q_ref[bi], k_ref[bi], v_ref[bi]
+        if has_bias:
+            # bias_ref is (8, 3D) (row 0 live): Mosaic proves 128-multiple
+            # dynamic LANE slices on ≥2-D refs, but rejects them on 1-D vectors.
+            qp = qp + bias_ref[0, pl.ds(h2 * _LANES, _LANES)].astype(qp.dtype)
+            kp = kp + bias_ref[0, pl.ds((h2n + h2) * _LANES,
+                                        _LANES)].astype(kp.dtype)
+            vp = vp + bias_ref[0, pl.ds((2 * h2n + h2) * _LANES,
+                                        _LANES)].astype(vp.dtype)
         ktp = jnp.swapaxes(kp, 0, 1)       # (L, Sp) — one transpose per pair
         for j in range(hb):
             lo = j * head_dim
@@ -490,7 +502,8 @@ def _fa_packed_kernel(q_ref, k_ref, v_ref, seed_ref, o_ref, *, scale: float,
                                     axis=1).astype(o_ref.dtype)
 
 
-def _packed_fwd_impl(qkv, seed, n_heads: int, causal: bool, dropout_rate: float):
+def _packed_fwd_impl(qkv, seed, n_heads: int, causal: bool, dropout_rate: float,
+                     bias=None):
     b, s, three_d = qkv.shape
     n_embd = three_d // 3
     d = n_embd // n_heads
@@ -513,10 +526,14 @@ def _packed_fwd_impl(qkv, seed, n_heads: int, causal: bool, dropout_rate: float)
     # unit block over the size-3 axis is rejected, the flat layout is not.)
     # bb=2 batch elements per program where VMEM allows (see kernel docstring).
     bb = 2 if (b % 2 == 0 and sp <= 384) else 1
+    has_bias = bias is not None
+    bias_arr = (jnp.broadcast_to(bias.astype(qkv.dtype), (_SUBLANE, three_d))
+                if has_bias else jnp.zeros((_SUBLANE, three_d), qkv.dtype))
     out = pl.pallas_call(
         functools.partial(_fa_packed_kernel, scale=scale, causal=causal,
                           seq_len=s, block_q=block_q, dropout_rate=dropout_rate,
-                          head_dim=d, n_heads=n_heads, bb=bb),
+                          head_dim=d, n_heads=n_heads, bb=bb,
+                          has_bias=has_bias),
         grid=(b // bb, h2, n_q),
         in_specs=[
             pl.BlockSpec((bb, block_q, _LANES), lambda b, h, iq: (b, iq, h),
@@ -526,6 +543,8 @@ def _packed_fwd_impl(qkv, seed, n_heads: int, causal: bool, dropout_rate: float)
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((bb, sp, _LANES),
                          lambda b, h, iq, h2=h2: (b, 0, 2 * h2 + h),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_SUBLANE, three_d), lambda b, h, iq: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
@@ -539,14 +558,14 @@ def _packed_fwd_impl(qkv, seed, n_heads: int, causal: bool, dropout_rate: float)
             transcendentals=b * n_heads * sp * sp,
         ),
         interpret=interpret,
-    )(x, x, x, seed)
+    )(x, x, x, bias_arr, seed)
     return out[:, :s, :] if sp != s else out
 
 
-def _fa_packed_bwd_kernel(q_ref, k_ref, v_ref, do_ref, seed_ref, dqkv_ref, *,
-                          scale: float, causal: bool, seq_len: int,
-                          dropout_rate: float, head_dim: int, n_heads: int,
-                          bb: int):
+def _fa_packed_bwd_kernel(q_ref, k_ref, v_ref, do_ref, bias_ref, seed_ref,
+                          dqkv_ref, db_ref, *, scale: float, causal: bool,
+                          seq_len: int, dropout_rate: float, head_dim: int,
+                          n_heads: int, bb: int, has_bias: bool):
     """One (batch sub-block, head-pair) per program; full sequence in VMEM.
     q/k/v (bb,Sp,L) flat-qkv column views, do (bb,Sp,L) → dqkv (bb,Sp,3D)
     written via 128-aligned dynamic lane stores into a block that is REVISITED
@@ -576,9 +595,16 @@ def _fa_packed_bwd_kernel(q_ref, k_ref, v_ref, do_ref, seed_ref, dqkv_ref, *,
             valid = jnp.logical_and(valid, col <= row)
     neg = jnp.finfo(jnp.float32).min
 
+    h2n_ = (n_heads * head_dim) // _LANES
     units = []                             # (bi, j, q, k, kt, v, do)
     for bi in range(bb):
         qp, kp, vp, dop = q_ref[bi], k_ref[bi], v_ref[bi], do_ref[bi]
+        if has_bias:                       # unbiased views + in-VMEM bias add
+            qp = qp + bias_ref[0, pl.ds(h2 * _LANES, _LANES)].astype(qp.dtype)
+            kp = kp + bias_ref[0, pl.ds((h2n_ + h2) * _LANES,
+                                        _LANES)].astype(kp.dtype)
+            vp = vp + bias_ref[0, pl.ds((2 * h2n_ + h2) * _LANES,
+                                        _LANES)].astype(vp.dtype)
         ktp = jnp.swapaxes(kp, 0, 1)
         for j in range(hb):
             lo = j * head_dim
@@ -661,18 +687,48 @@ def _fa_packed_bwd_kernel(q_ref, k_ref, v_ref, do_ref, seed_ref, dqkv_ref, *,
             dks.append(dk)
             dvs.append(dv)
     h2n = (n_heads * head_dim) // _LANES
+    dq_cats, dk_cats, dv_cats = [], [], []
     for bi in range(bb):
         sl = slice(bi * hb, (bi + 1) * hb)
+        dq_cats.append(jnp.concatenate(dqs[sl], axis=1))
+        dk_cats.append(jnp.concatenate(dks[sl], axis=1))
+        dv_cats.append(jnp.concatenate(dvs[sl], axis=1))
         dqkv_ref[bi, :, pl.ds(h2 * _LANES, _LANES)] = (
-            jnp.concatenate(dqs[sl], axis=1).astype(dqkv_ref.dtype))
+            dq_cats[-1].astype(dqkv_ref.dtype))
         dqkv_ref[bi, :, pl.ds((h2n + h2) * _LANES, _LANES)] = (
-            jnp.concatenate(dks[sl], axis=1).astype(dqkv_ref.dtype))
+            dk_cats[-1].astype(dqkv_ref.dtype))
         dqkv_ref[bi, :, pl.ds((2 * h2n + h2) * _LANES, _LANES)] = (
-            jnp.concatenate(dvs[sl], axis=1).astype(dqkv_ref.dtype))
+            dv_cats[-1].astype(dqkv_ref.dtype))
+
+    if has_bias:
+        # Bias gradient: column-sum the fp32 cotangents in VMEM into a
+        # PER-BATCH-PROGRAM partial block (index (pid_b, 0, 0) — revisited only
+        # across the consecutive inner h2 steps, the same residency pattern as
+        # dqkv_ref). A single grid-resident accumulator was measured 1.88 vs
+        # 1.11 ms/call: the cross-program read-modify-write serializes the
+        # pipeline (same trap as the tiled-bwd negative result). The (B/bb,8,3D)
+        # partials are ~2.4 MB, reduced by XLA — vs the 94 MB dqkv re-read this
+        # replaces. Zero-padded query rows contribute exact zeros.
+        @pl.when(h2 == 0)
+        def _init():
+            db_ref[...] = jnp.zeros_like(db_ref)
+
+        def colsum(cats):
+            # (Sp,128) fp32 per sub-batch → (1,128); summed over sub-batches
+            total = sum(jnp.sum(c, axis=0, keepdims=True) for c in cats)
+            return total[0]
+
+        db_ref[0, 0, pl.ds(h2 * _LANES, _LANES)] = (
+            db_ref[0, 0, pl.ds(h2 * _LANES, _LANES)] + colsum(dq_cats))
+        db_ref[0, 0, pl.ds((h2n + h2) * _LANES, _LANES)] = (
+            db_ref[0, 0, pl.ds((h2n + h2) * _LANES, _LANES)] + colsum(dk_cats))
+        db_ref[0, 0, pl.ds((2 * h2n + h2) * _LANES, _LANES)] = (
+            db_ref[0, 0, pl.ds((2 * h2n + h2) * _LANES, _LANES)]
+            + colsum(dv_cats))
 
 
 def _packed_bwd_impl(qkv, g, seed, n_heads: int, causal: bool,
-                     dropout_rate: float):
+                     dropout_rate: float, bias=None):
     b, s, three_d = qkv.shape
     n_embd = three_d // 3
     d = n_embd // n_heads
@@ -687,10 +743,13 @@ def _packed_bwd_impl(qkv, g, seed, n_heads: int, causal: bool,
 
     # bb=2 batch elements per program where VMEM allows (see kernel docstring).
     bb = 2 if (b % 2 == 0 and sp <= 384) else 1
-    dqkv = pl.pallas_call(
+    has_bias = bias is not None
+    bias_arr = (jnp.broadcast_to(bias.astype(qkv.dtype), (_SUBLANE, three_d))
+                if has_bias else jnp.zeros((_SUBLANE, three_d), qkv.dtype))
+    dqkv, db = pl.pallas_call(
         functools.partial(_fa_packed_bwd_kernel, scale=scale, causal=causal,
                           seq_len=s, dropout_rate=dropout_rate, head_dim=d,
-                          n_heads=n_heads, bb=bb),
+                          n_heads=n_heads, bb=bb, has_bias=has_bias),
         grid=(b // bb, h2),
         in_specs=[
             pl.BlockSpec((bb, sp, _LANES), lambda b, h: (b, 0, h),
@@ -702,28 +761,39 @@ def _packed_bwd_impl(qkv, g, seed, n_heads: int, causal: bool,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((bb, sp, _LANES), lambda b, h: (b, 0, h),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((_SUBLANE, three_d), lambda b, h: (0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((bb, sp, 3 * n_embd), lambda b, h: (b, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, sp, three_d), qkv.dtype),
+        out_specs=(
+            pl.BlockSpec((bb, sp, 3 * n_embd), lambda b, h: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _SUBLANE, 3 * n_embd), lambda b, h: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, sp, three_d), qkv.dtype),
+            jax.ShapeDtypeStruct((b // bb, _SUBLANE, three_d), jnp.float32),
+        ),
         cost_estimate=pl.CostEstimate(
             flops=10 * b * n_heads * sp * sp * d,
             bytes_accessed=8 * b * sp * n_embd * qkv.dtype.itemsize,
             transcendentals=b * n_heads * sp * sp,
         ),
         interpret=interpret,
-    )(x, x, x, g, seed)
+    )(x, x, x, g, bias_arr, seed)
     if sp != s:
         dqkv = dqkv[:, :s]
-    return dqkv
+    return dqkv, db[:, 0, :].sum(axis=0)
 
 
 @functools.lru_cache(maxsize=None)
-def _packed_fwd_cp(n_heads: int, causal: bool, dropout_rate: float):
+def _packed_fwd_cp(n_heads: int, causal: bool, dropout_rate: float,
+                   has_bias: bool):
     @custom_partitioning
-    def fwd(qkv, seed):
-        return _packed_fwd_impl(qkv, seed, n_heads, causal, dropout_rate)
+    def fwd(qkv, bias, seed):
+        return _packed_fwd_impl(qkv, seed, n_heads, causal, dropout_rate,
+                                bias=bias if has_bias else None)
 
     def infer(mesh, arg_infos, result_infos):
         (b,) = lead_spec(arg_infos[0], 1)
@@ -732,51 +802,69 @@ def _packed_fwd_cp(n_heads: int, causal: bool, dropout_rate: float):
     def part(mesh, arg_infos, result_infos):
         (b,) = lead_spec(arg_infos[0], 1)
         sh = named(mesh, b, None, None)
-        arg_sh = (sh, named(mesh, None))
+        arg_sh = (sh, named(mesh, None), named(mesh, None))
 
-        def lower(qkv, seed):
-            return _packed_fwd_impl(qkv, seed, n_heads, causal, dropout_rate)
+        def lower(qkv, bias, seed):
+            return _packed_fwd_impl(qkv, seed, n_heads, causal, dropout_rate,
+                                    bias=bias if has_bias else None)
 
         return mesh, lower, sh, arg_sh
 
     # x (3D) and y (D) are distinct factors — only the batch dim propagates.
     fwd.def_partition(partition=part, infer_sharding_from_operands=infer,
-                      sharding_rule="b s x, u -> b s y")
+                      sharding_rule="b s x, c, u -> b s y")
     return fwd
 
 
 @functools.lru_cache(maxsize=None)
-def _packed_bwd_cp(n_heads: int, causal: bool, dropout_rate: float):
+def _packed_bwd_cp(n_heads: int, causal: bool, dropout_rate: float,
+                   has_bias: bool):
     @custom_partitioning
-    def bwd(qkv, g, seed):
-        return _packed_bwd_impl(qkv, g, seed, n_heads, causal, dropout_rate)
+    def bwd(qkv, g, bias, seed):
+        dqkv, db = _packed_bwd_impl(qkv, g, seed, n_heads, causal,
+                                    dropout_rate,
+                                    bias=bias if has_bias else None)
+        return dqkv, db
 
     def infer(mesh, arg_infos, result_infos):
         (b,) = lead_spec(arg_infos[0], 1)
-        return named(mesh, b, None, None)
+        return (named(mesh, b, None, None), named(mesh, None, None))
 
     def part(mesh, arg_infos, result_infos):
         (b,) = lead_spec(arg_infos[0], 1)
         sh = named(mesh, b, None, None)
-        arg_sh = (sh, sh, named(mesh, None))
+        db_sh = named(mesh, None, None)
+        arg_sh = (sh, sh, named(mesh, None), named(mesh, None))
+        # db is a sum over the (possibly sharded) batch: each shard computes a
+        # partial from its local rows, the psum over the batch mesh axes makes
+        # the declared-replicated output true.
+        axes = b if isinstance(b, tuple) else ((b,) if b else ())
 
-        def lower(qkv, g, seed):
-            return _packed_bwd_impl(qkv, g, seed, n_heads, causal, dropout_rate)
+        def lower(qkv, g, bias, seed):
+            dqkv, db = _packed_bwd_impl(qkv, g, seed, n_heads, causal,
+                                        dropout_rate,
+                                        bias=bias if has_bias else None)
+            if axes:
+                db = jax.lax.psum(db, tuple(axes))
+            return dqkv, db
 
-        return mesh, lower, sh, arg_sh
+        return mesh, lower, (sh, db_sh), arg_sh
 
     bwd.def_partition(partition=part, infer_sharding_from_operands=infer,
-                      sharding_rule="b s x, b s y, u -> b s x")
+                      sharding_rule="b s x, b s y, c, u -> b s x, c")
     return bwd
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
 def _flash_attention_packed(qkv, seed, n_heads, causal, dropout_rate):
-    return _packed_fwd_cp(n_heads, causal, dropout_rate)(qkv, seed)
+    bias = jnp.zeros((qkv.shape[-1],), qkv.dtype)
+    return _packed_fwd_cp(n_heads, causal, dropout_rate, False)(qkv, bias, seed)
 
 
 def _fa_packed_fwd(qkv, seed, n_heads, causal, dropout_rate):
-    return (_packed_fwd_cp(n_heads, causal, dropout_rate)(qkv, seed),
+    bias = jnp.zeros((qkv.shape[-1],), qkv.dtype)
+    return (_packed_fwd_cp(n_heads, causal, dropout_rate, False)(qkv, bias,
+                                                                 seed),
             (qkv, seed))
 
 
@@ -784,17 +872,55 @@ def _fa_packed_bwd(n_heads, causal, dropout_rate, res, g):
     import numpy as np
 
     qkv, seed = res
-    dqkv = _packed_bwd_cp(n_heads, causal, dropout_rate)(qkv, g, seed)
+    bias = jnp.zeros((qkv.shape[-1],), qkv.dtype)
+    dqkv, _ = _packed_bwd_cp(n_heads, causal, dropout_rate, False)(qkv, g,
+                                                                   bias, seed)
     return dqkv, np.zeros(seed.shape, jax.dtypes.float0)
 
 
 _flash_attention_packed.defvjp(_fa_packed_fwd, _fa_packed_bwd)
 
 
+# --- biased variant: qkv is the UNBIASED projection, bias added in-kernel ----
+#
+# The payoff is in the backward: the kernel accumulates the qkv-bias gradient
+# into a grid-resident VMEM block, so XLA never re-reads the (B,S,3D) dqkv just
+# to column-sum it (a ~0.13 ms full-HBM pass per layer on the flagship step).
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _flash_attention_packed_biased(qkv, bias, seed, n_heads, causal,
+                                   dropout_rate):
+    return _packed_fwd_cp(n_heads, causal, dropout_rate, True)(qkv, bias, seed)
+
+
+def _fa_pb_fwd(qkv, bias, seed, n_heads, causal, dropout_rate):
+    out = _packed_fwd_cp(n_heads, causal, dropout_rate, True)(qkv, bias, seed)
+    return out, (qkv, bias, seed)
+
+
+def _fa_pb_bwd(n_heads, causal, dropout_rate, res, g):
+    import numpy as np
+
+    qkv, bias, seed = res
+    dqkv, db = _packed_bwd_cp(n_heads, causal, dropout_rate, True)(qkv, g,
+                                                                   bias, seed)
+    return (dqkv, db.astype(bias.dtype),
+            np.zeros(seed.shape, jax.dtypes.float0))
+
+
+_flash_attention_packed_biased.defvjp(_fa_pb_fwd, _fa_pb_bwd)
+
+
 def flash_attention_packed(qkv: jax.Array, n_heads: int, *,
                            causal: bool = False, dropout_rate: float = 0.0,
-                           dropout_rng: "jax.Array | None" = None) -> jax.Array:
+                           dropout_rng: "jax.Array | None" = None,
+                           qkv_bias: "jax.Array | None" = None) -> jax.Array:
     """Fused attention over a packed QKV projection. qkv: (B, S, 3D) → (B, S, D).
+
+    With ``qkv_bias`` (shape (3D,)), ``qkv`` must be the UNBIASED projection
+    (x·W): the bias is added inside the kernel and — the actual point — the
+    backward emits the bias gradient from VMEM instead of XLA re-reading the
+    full dqkv to reduce it. Gradients then flow to both qkv and qkv_bias.
 
     Caller must check ``packed_supported`` first; this is the zero-glue fast path
     (no head-split rearranges in XLA — see module comment above)."""
@@ -804,6 +930,9 @@ def flash_attention_packed(qkv: jax.Array, n_heads: int, *,
         seed = jax.random.randint(dropout_rng, (1,), 0, 2 ** 31 - 1, jnp.int32)
     else:
         seed = jnp.zeros((1,), jnp.int32)
+    if qkv_bias is not None:
+        return _flash_attention_packed_biased(qkv, qkv_bias, seed, n_heads,
+                                              causal, dropout_rate)
     return _flash_attention_packed(qkv, seed, n_heads, causal, dropout_rate)
 
 

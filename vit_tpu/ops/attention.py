@@ -83,13 +83,19 @@ def fused_qkv_attention(
     dropout_rate: float = 0.0,
     dropout_rng: Optional[jax.Array] = None,
     impl: Optional[str] = None,
+    qkv_bias: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Attention straight off the packed QKV projection. qkv: (B, S, 3D) → (B, S, D).
 
     On the Pallas path the head split/merge happens inside the kernel via BlockSpecs
     (zero XLA layout copies — the round-2 profile showed ~0.7 ms/layer of glue for
     the rearrange-based path). Falls back to unpacking + ``multi_head_attention``
-    when the packed kernel doesn't apply (CPU/xla impl, head_dim ∤ 128, long seqs)."""
+    when the packed kernel doesn't apply (CPU/xla impl, head_dim ∤ 128, long seqs).
+
+    qkv_bias: optional (3D,) projection bias with ``qkv`` UNBIASED — on the
+    packed Pallas path the bias is applied in-kernel and its gradient comes out
+    of the kernel's VMEM accumulator (see flash_attention_packed); fallback
+    paths just add it here."""
     b, s, three_d = qkv.shape
     n_embd = three_d // 3
     chosen = _pick_impl(impl, dropout_rate)
@@ -100,7 +106,10 @@ def fused_qkv_attention(
         if packed_supported(n_heads, n_embd, s, dropout_rate):
             return flash_attention_packed(qkv, n_heads, causal=causal,
                                           dropout_rate=dropout_rate,
-                                          dropout_rng=dropout_rng)
+                                          dropout_rng=dropout_rng,
+                                          qkv_bias=qkv_bias)
+    if qkv_bias is not None:
+        qkv = qkv + qkv_bias.astype(qkv.dtype)
     d = n_embd // n_heads
     q, k, v = (qkv.reshape(b, s, 3, n_heads, d)
                .transpose(2, 0, 3, 1, 4))
