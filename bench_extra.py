@@ -76,6 +76,55 @@ def bench_titok_tokens(bs: int, steps: int):
                       "images_per_sec": round(bs / dt, 1)}))
 
 
+def bench_vit_l(bs: int, steps: int):
+    """ViT-L/16 @256, dropout 0.15 — the reference train_vit.py DEFAULT config."""
+    from vit_tpu.models.vit import ViTClassifier, ViTConfig
+    from vit_tpu.train.optim import make_optimizer
+    from vit_tpu.train.state import TrainState
+    from vit_tpu.train.step import make_classifier_train_step
+
+    cfg = ViTConfig(256, 3, 16, "L", 1, 0.15)
+    model = ViTClassifier(cfg, num_classes=1000)
+    rng = jax.random.PRNGKey(0)
+    images = jax.random.uniform(rng, (bs, 256, 256, 3), jnp.float32)
+    labels = jax.random.randint(rng, (bs,), 0, 1000)
+    params = jax.jit(model.init)(rng, images[:1])["params"]
+    tx = make_optimizer(1e-4, 5000, 500000, 1e-5, 1e-2, clip_norm=None)
+    state = TrainState.create(params, tx)
+    step = jax.jit(make_classifier_train_step(model), donate_argnums=(0,))
+    holder = {"state": state}
+
+    def one():
+        holder["state"], metrics = step(holder["state"], images, labels, rng)
+        return metrics
+
+    dt = _timed(one, lambda m: float(jax.device_get(m["train/loss"])), steps)
+    print(json.dumps({
+        "metric": "vit_l16_256_drop0.15_train_images_per_sec_per_chip",
+        "value": round(bs / dt, 2), "unit": "images/sec/chip"}))
+
+
+def bench_videogpt_rollout(steps: int):
+    """VideoGPT-B greedy rollout: 512 generated tokens on 512 conditioning
+    tokens (KV-cache decode + one-forward prefill)."""
+    from vit_tpu.models.videogpt import VideoGPT, VideoGPTConfig, generate
+
+    cfg = VideoGPTConfig(64, 1024, "B", 16, 0.0)
+    model = VideoGPT(cfg)
+    rng = jax.random.PRNGKey(0)
+    cond = jax.random.randint(rng, (1, 512), 0, cfg.codebook_size)
+    params = jax.jit(model.init)(
+        rng, jnp.zeros((1, 2, cfg.frame_size), jnp.int32))["params"]
+
+    def one():
+        return generate(model, params, cond, 512)
+
+    dt = _timed(one, lambda out: int(jax.device_get(out[0, -1])), steps)
+    print(json.dumps({"metric": "videogpt_b_rollout_tokens_per_sec",
+                      "value": round(512 / dt, 1), "unit": "tokens/sec",
+                      "conditioning_tokens": 512}))
+
+
 def main():
     from vit_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
@@ -83,12 +132,16 @@ def main():
     parser.add_argument("--bs", type=int, default=64)
     parser.add_argument("--steps", type=int, default=10)
     parser.add_argument("--only", type=str, default=None,
-                        choices=[None, "vit", "titok"])
+                        choices=[None, "vit", "titok", "vitl", "videogpt"])
     args = parser.parse_args()
     if args.only in (None, "vit"):
         bench_vit(args.bs, args.steps)
     if args.only in (None, "titok"):
         bench_titok_tokens(args.bs, args.steps)
+    if args.only in (None, "vitl"):
+        bench_vit_l(args.bs, args.steps)
+    if args.only in (None, "videogpt"):
+        bench_videogpt_rollout(max(3, args.steps // 3))
 
 
 if __name__ == "__main__":

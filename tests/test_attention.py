@@ -230,3 +230,49 @@ def test_packed_biased_odd_batch_bb1():
         qkv_nb + b, 2) ** 2))(bias)
     np.testing.assert_allclose(np.asarray(gb1), np.asarray(gb2), atol=1e-4,
                                rtol=1e-4)
+
+
+@pytest.mark.parametrize("s", [96, 640])
+def test_packed_dropout_matches_explicit_mask_reference(s):
+    """In-kernel dropout ≡ masked-softmax reference built from the SAME counter
+    stream, for forward AND gradients — including q-block-tiled forwards
+    (S=640 > 512: two q blocks in fwd, one full-sequence bwd program), which
+    requires the mask hash to use global row coordinates."""
+    import jax.numpy as jnp
+
+    from vit_tpu.kernels.attention import (_dropout_mask,
+                                           flash_attention_packed,
+                                           packed_supported)
+
+    n_heads, rate = 2, 0.25
+    assert packed_supported(n_heads, 128, s, rate)
+    rng = jax.random.PRNGKey(21)
+    qkv = jax.random.normal(rng, (2, s, 3 * 128))
+    seed = jax.random.randint(rng, (1,), 0, 2 ** 31 - 1, jnp.int32)
+
+    def ref(x):
+        b, _, td = x.shape
+        d = td // 3 // n_heads
+        q, k, v = x.reshape(b, s, 3, n_heads, d).transpose(2, 0, 3, 1, 4)
+        sc = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(1.0 * d)
+        p = jax.nn.softmax(sc, axis=-1)
+        masks = jnp.stack([
+            jnp.stack([_dropout_mask(seed, jnp.uint32(bi * n_heads + h),
+                                     (s, s), rate) for h in range(n_heads)])
+            for bi in range(b)])
+        p = p * masks
+        o = jnp.einsum("bhqk,bhkd->bhqd", p, v)
+        return o.transpose(0, 2, 1, 3).reshape(b, s, td // 3)
+
+    def kern(x):
+        # same seed the public wrapper would derive — call the private op
+        from vit_tpu.kernels.attention import _flash_attention_packed
+        return _flash_attention_packed(x, seed, n_heads, False, rate)
+
+    out_k, out_r = kern(qkv), ref(qkv)
+    np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_r),
+                               atol=TOL, rtol=TOL)
+    gk = jax.grad(lambda x: jnp.sum(kern(x) ** 2))(qkv)
+    gr = jax.grad(lambda x: jnp.sum(ref(x) ** 2))(qkv)
+    np.testing.assert_allclose(np.asarray(gk), np.asarray(gr),
+                               atol=5e-3, rtol=5e-3)

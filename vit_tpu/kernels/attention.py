@@ -43,17 +43,23 @@ def _ceil_to(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _dropout_mask(seed_ref, hid, shape, rate: float):
+def _dropout_mask(seed_ref, hid, shape, rate: float, row0=0,
+                  stride: "int | None" = None):
     """Deterministic per-(batch·head) dropout keep-mask scaled by 1/keep (fp32).
 
     Counter-based (murmur3-finalizer over position iota ⊕ seed ⊕ head id) rather
     than pltpu.prng_* so the identical stream exists in compiled AND interpret mode
-    (CPU tests) and the backward kernel regenerates it exactly. Dropout is only fused
-    when the whole sequence is one q block, so ``hid`` (flat batch·head index)
-    identifies the mask."""
-    r = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
+    (CPU tests) and the backward kernel regenerates it exactly. ``hid`` (flat
+    batch·head index) identifies the stream. The hash runs over GLOBAL LOGICAL
+    coordinates: ``row0`` is the global row of the block's first query and
+    ``stride`` the LOGICAL sequence length — the forward pads to a q-block
+    multiple while the backward pads to a sublane multiple, so hashing the
+    padded width would give the two passes different streams for
+    512 < S ≤ 768 (padded positions hash to don't-care values: they are
+    score-masked to zero probability anyway)."""
+    r = jax.lax.broadcasted_iota(jnp.uint32, shape, 0) + jnp.uint32(row0)
     c = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
-    x = r * jnp.uint32(shape[1]) + c
+    x = r * jnp.uint32(stride if stride is not None else shape[1]) + c
     x = x ^ (seed_ref[0].astype(jnp.uint32) * jnp.uint32(0x9E3779B9))
     x = x + hid.astype(jnp.uint32) * jnp.uint32(0x85EBCA6B)
     x = x ^ (x >> 16)
@@ -104,7 +110,8 @@ def _fa_kernel(q_ref, kt_ref, v_ref, seed_ref, o_ref, *, scale: float,
     l = jnp.sum(p, axis=-1, keepdims=True)
     if dropout_rate > 0.0:
         # D∘(p/l) = (D∘p)/l — drop before the PV matmul, keep the normalizer
-        p = p * _dropout_mask(seed_ref, pl.program_id(0), (bq, sp), dropout_rate)
+        p = p * _dropout_mask(seed_ref, pl.program_id(0), (bq, sp), dropout_rate,
+                              row0=iq * block_q, stride=seq_len)
     o = jax.lax.dot_general(
         p.astype(v.dtype), v,
         dimension_numbers=(((1,), (0,)), ((), ())),
@@ -206,7 +213,8 @@ def _fa_bwd_kernel(q_ref, kt_ref, v_ref, do_ref, seed_ref, dq_ref, dk_ref,
     # broadcast. Same math: p_norm = ph/l, delta = deltah/l.
     if dropout_rate > 0.0:
         # regenerate the forward mask (same seed + program id)
-        dmask = _dropout_mask(seed_ref, pl.program_id(0), (sp, sp), dropout_rate)
+        dmask = _dropout_mask(seed_ref, pl.program_id(0), (sp, sp), dropout_rate,
+                              stride=seq_len)
         ph_eff = ph * dmask            # D∘ph — normalization folded into do below
     else:
         ph_eff = ph
@@ -403,8 +411,6 @@ def packed_supported(n_heads: int, n_embd: int, seq_len: int,
         return False
     if seq_len > _MAX_FUSED_BWD_SEQ:
         return False
-    if dropout_rate > 0.0 and seq_len > 512:
-        return False
     return True
 
 
@@ -480,7 +486,8 @@ def _fa_packed_kernel(q_ref, k_ref, v_ref, bias_ref, seed_ref, o_ref, *,
         l = jnp.sum(p, axis=-1, keepdims=True)
         if dropout_rate > 0.0:
             hid = (pid_b * bb + bi) * n_heads + h2 * hb + j
-            p = p * _dropout_mask(seed_ref, hid, (bq, sp), dropout_rate)
+            p = p * _dropout_mask(seed_ref, hid, (bq, sp), dropout_rate,
+                                  row0=iq * block_q, stride=seq_len)
         return p.astype(v.dtype), l
 
     def pv(u, p, l):
@@ -612,7 +619,10 @@ def _fa_packed_bwd_kernel(q_ref, k_ref, v_ref, do_ref, bias_ref, seed_ref,
                           kp[:, lo:lo + head_dim], ktp[lo:lo + head_dim, :],
                           vp[:, lo:lo + head_dim], dop[:, lo:lo + head_dim]))
 
-    staged = bb * sp <= 2 * 512
+    # Dropout keeps an extra (Sp,Sp) fp32 mask alive per unit: at Sp=640 the
+    # staged form measured 16.48 MB scoped VMEM (492 KB over budget) — fall
+    # back to the sequential loop there.
+    staged = bb * sp <= 2 * 512 and (dropout_rate == 0.0 or sp <= 512)
 
     def scores(u):
         _, _, q, _, kt, _, _ = u
@@ -630,7 +640,8 @@ def _fa_packed_bwd_kernel(q_ref, k_ref, v_ref, do_ref, bias_ref, seed_ref,
         l = jnp.sum(ph, axis=-1, keepdims=True)
         if dropout_rate > 0.0:
             hid = (pid_b * bb + bi) * n_heads + h2 * hb + j
-            dmask = _dropout_mask(seed_ref, hid, (sp, sp), dropout_rate)
+            dmask = _dropout_mask(seed_ref, hid, (sp, sp), dropout_rate,
+                                  stride=seq_len)
         else:
             dmask = None
         return ph, 1.0 / l, dmask
@@ -942,13 +953,14 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
     """Fused attention. q,k,v: (B, H, S, D) -> (B, H, S, D).
 
     dropout_rate > 0 applies in-kernel dropout to the attention probabilities
-    (requires dropout_rng; supported when S fits one q block, i.e. S ≤ 512 —
-    otherwise the caller should use the XLA path)."""
+    (requires dropout_rng; supported up to the fused-backward bound S ≤ 768 —
+    the mask stream hashes GLOBAL (row, col) coordinates so q-block-tiled
+    forwards and the full-sequence backward regenerate identical masks)."""
     s = q.shape[-2]
     if dropout_rate > 0.0:
         if dropout_rng is None:
             raise ValueError("dropout_rate > 0 requires dropout_rng")
-        if s > 512 or s > _MAX_FUSED_BWD_SEQ:
+        if s > _MAX_FUSED_BWD_SEQ:
             return attention_xla(q, k, v, causal=causal,
                                  dropout_rate=dropout_rate,
                                  dropout_rng=dropout_rng)
