@@ -63,8 +63,8 @@ def main():
 
     from vit_tpu.kernels.attention import _packed_bwd_cp, _packed_fwd_cp
 
-    fwd_call = _packed_fwd_cp(h, False, 0.0, True)
-    bwd_call = _packed_bwd_cp(h, False, 0.0, True)
+    fwd_call = _packed_fwd_cp(h, False, args.dropout, True)
+    bwd_call = _packed_bwd_cp(h, False, args.dropout, True)
     bias = jax.random.normal(jax.random.PRNGKey(2), (3 * n_embd,),
                              jnp.bfloat16) * 0.1
 

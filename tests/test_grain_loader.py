@@ -61,6 +61,22 @@ def test_sharding_partitions_records():
     assert sorted(seen) == list(range(16))  # disjoint and complete
 
 
+def test_shuffled_shards_disjoint_complete_and_permuted():
+    """With shuffle on, the fixed global permutation must keep shards disjoint
+    and complete while breaking grain's contiguous-interval assignment."""
+    seen, firsts = [], []
+    for shard in range(2):
+        loader = GrainDataLoader(RangeDataset(32), 4, shuffle=True, seed=3,
+                                 shard_id=shard, num_shards=2)
+        vals = []
+        for x, _ in loader:
+            vals.extend(x[:, 0, 0].astype(int).tolist())
+        seen.extend(vals)
+        firsts.append(sorted(vals))
+    assert sorted(seen) == list(range(32))          # disjoint and complete
+    assert firsts[0] != list(range(16))             # not the contiguous half
+
+
 def test_drop_last_false_keeps_remainder():
     loader = GrainDataLoader(RangeDataset(10), 3, shuffle=False,
                              drop_last=False)

@@ -12,7 +12,8 @@ saturates host cores for GIL-releasing decode work (libjpeg/cv2); Grain adds
 determinism-by-construction (sampler state is an index, not RNG side effects)
 and multiprocess workers for decode paths that do NOT release the GIL. Parity is
 pinned by tests/test_grain_loader.py (same dataset, same seed discipline, equal
-batch streams with shuffle off, same per-shard partition semantics).
+batch streams with shuffle off, disjoint-and-complete shard coverage). Shard
+ASSIGNMENT semantics differ deliberately — see _SourceAdapter.
 """
 
 from __future__ import annotations
@@ -78,15 +79,19 @@ class GrainDataLoader:
         self._epoch += 1
         sampler = gp.IndexSampler(
             num_records=len(self.dataset),
+            # drop_remainder=False: keep every record (unequal shards by ≤1),
+            # matching the threaded loader's strided partition — batch-level
+            # drop_last is handled in the batching loop below.
             shard_options=gp.ShardOptions(shard_index=self.shard_id,
                                           shard_count=self.num_shards,
-                                          drop_remainder=True),
+                                          drop_remainder=False),
             shuffle=self.shuffle,
             num_epochs=1,
             seed=epoch_seed,
         )
         loader = gp.DataLoader(
-            data_source=_SourceAdapter(self.dataset),
+            data_source=_SourceAdapter(self.dataset, self.seed
+                                       if self.shuffle else None),
             sampler=sampler,
             operations=[],
             worker_count=self.processes,
@@ -108,16 +113,31 @@ class GrainDataLoader:
 
 
 class _SourceAdapter:
-    """Adapt a map-style dataset to grain's RandomAccessDataSource protocol."""
+    """Adapt a map-style dataset to grain's RandomAccessDataSource protocol.
 
-    def __init__(self, dataset):
+    ``perm_seed`` applies a FIXED seed-derived global permutation under grain's
+    record keys. Grain's IndexSampler shards CONTIGUOUSLY before shuffling, so
+    without this each host would own a fixed contiguous dataset interval —
+    class-skewed for class-sorted layouts like ImageFolderDataset. With the
+    permutation, shards are random (epoch-independent) subsets; within-shard
+    order still reshuffles per epoch via the sampler seed. Remaining divergence
+    from the threaded loader (which re-partitions globally every epoch): shard
+    MEMBERSHIP is fixed across epochs — the standard fixed-shard-assignment
+    discipline of production input pipelines."""
+
+    def __init__(self, dataset, perm_seed=None):
         self._dataset = dataset
+        self._perm = (np.random.default_rng(perm_seed).permutation(len(dataset))
+                      if perm_seed is not None else None)
 
     def __len__(self) -> int:
         return len(self._dataset)
 
     def __getitem__(self, record_key) -> object:
-        return self._dataset[int(record_key)]
+        idx = int(record_key)
+        if self._perm is not None:
+            idx = int(self._perm[idx])
+        return self._dataset[idx]
 
     def __repr__(self) -> str:  # pragma: no cover
         return f"_SourceAdapter({self._dataset!r})"

@@ -570,7 +570,7 @@ def _packed_fwd_impl(qkv, seed, n_heads: int, causal: bool, dropout_rate: float,
 
 
 def _fa_packed_bwd_kernel(q_ref, k_ref, v_ref, do_ref, bias_ref, seed_ref,
-                          dqkv_ref, db_ref, *, scale: float, causal: bool,
+                          dqkv_ref, *maybe_db_ref, scale: float, causal: bool,
                           seq_len: int, dropout_rate: float, head_dim: int,
                           n_heads: int, bb: int, has_bias: bool):
     """One (batch sub-block, head-pair) per program; full sequence in VMEM.
@@ -712,6 +712,7 @@ def _fa_packed_bwd_kernel(q_ref, k_ref, v_ref, do_ref, bias_ref, seed_ref,
             dv_cats[-1].astype(dqkv_ref.dtype))
 
     if has_bias:
+        (db_ref,) = maybe_db_ref
         # Bias gradient: column-sum the fp32 cotangents in VMEM into a
         # PER-BATCH-PROGRAM partial block (index (pid_b, 0, 0) — revisited only
         # across the consecutive inner h2 steps, the same residency pattern as
@@ -757,7 +758,23 @@ def _packed_bwd_impl(qkv, g, seed, n_heads: int, causal: bool,
     has_bias = bias is not None
     bias_arr = (jnp.broadcast_to(bias.astype(qkv.dtype), (_SUBLANE, three_d))
                 if has_bias else jnp.zeros((_SUBLANE, three_d), qkv.dtype))
-    dqkv, db = pl.pallas_call(
+    dqkv_spec = pl.BlockSpec((bb, sp, 3 * n_embd), lambda b, h: (b, 0, 0),
+                             memory_space=pltpu.VMEM)
+    dqkv_shape = jax.ShapeDtypeStruct((b, sp, three_d), qkv.dtype)
+    if has_bias:
+        out_specs = (dqkv_spec,
+                     pl.BlockSpec((1, _SUBLANE, 3 * n_embd),
+                                  lambda b, h: (b, 0, 0),
+                                  memory_space=pltpu.VMEM))
+        out_shape = (dqkv_shape,
+                     jax.ShapeDtypeStruct((b // bb, _SUBLANE, three_d),
+                                          jnp.float32))
+    else:
+        # No db output at all for the unbiased path — otherwise every backward
+        # would write (and the caller discard) an uninitialized partial block.
+        out_specs = dqkv_spec
+        out_shape = dqkv_shape
+    out = pl.pallas_call(
         functools.partial(_fa_packed_bwd_kernel, scale=scale, causal=causal,
                           seq_len=s, dropout_rate=dropout_rate, head_dim=d,
                           n_heads=n_heads, bb=bb, has_bias=has_bias),
@@ -776,16 +793,8 @@ def _packed_bwd_impl(qkv, g, seed, n_heads: int, causal: bool,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
-        out_specs=(
-            pl.BlockSpec((bb, sp, 3 * n_embd), lambda b, h: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _SUBLANE, 3 * n_embd), lambda b, h: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((b, sp, three_d), qkv.dtype),
-            jax.ShapeDtypeStruct((b // bb, _SUBLANE, three_d), jnp.float32),
-        ),
+        out_specs=out_specs,
+        out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
             flops=10 * b * n_heads * sp * sp * d,
             bytes_accessed=8 * b * sp * n_embd * qkv.dtype.itemsize,
@@ -793,9 +802,10 @@ def _packed_bwd_impl(qkv, g, seed, n_heads: int, causal: bool,
         ),
         interpret=interpret,
     )(x, x, x, g, bias_arr, seed)
+    dqkv, db = out if has_bias else (out, None)
     if sp != s:
         dqkv = dqkv[:, :s]
-    return dqkv, db[:, 0, :].sum(axis=0)
+    return dqkv, (db[:, 0, :].sum(axis=0) if has_bias else None)
 
 
 @functools.lru_cache(maxsize=None)
@@ -835,16 +845,16 @@ def _packed_bwd_cp(n_heads: int, causal: bool, dropout_rate: float,
         dqkv, db = _packed_bwd_impl(qkv, g, seed, n_heads, causal,
                                     dropout_rate,
                                     bias=bias if has_bias else None)
-        return dqkv, db
+        return (dqkv, db) if has_bias else dqkv
 
     def infer(mesh, arg_infos, result_infos):
         (b,) = lead_spec(arg_infos[0], 1)
-        return (named(mesh, b, None, None), named(mesh, None, None))
+        sh = named(mesh, b, None, None)
+        return (sh, named(mesh, None, None)) if has_bias else sh
 
     def part(mesh, arg_infos, result_infos):
         (b,) = lead_spec(arg_infos[0], 1)
         sh = named(mesh, b, None, None)
-        db_sh = named(mesh, None, None)
         arg_sh = (sh, sh, named(mesh, None), named(mesh, None))
         # db is a sum over the (possibly sharded) batch: each shard computes a
         # partial from its local rows, the psum over the batch mesh axes makes
@@ -855,14 +865,19 @@ def _packed_bwd_cp(n_heads: int, causal: bool, dropout_rate: float,
             dqkv, db = _packed_bwd_impl(qkv, g, seed, n_heads, causal,
                                         dropout_rate,
                                         bias=bias if has_bias else None)
+            if not has_bias:
+                return dqkv
             if axes:
                 db = jax.lax.psum(db, tuple(axes))
             return dqkv, db
 
-        return mesh, lower, (sh, db_sh), arg_sh
+        out_sh = (sh, named(mesh, None, None)) if has_bias else sh
+        return mesh, lower, out_sh, arg_sh
 
+    rule = ("b s x, b s y, c, u -> b s x, c" if has_bias
+            else "b s x, b s y, c, u -> b s x")
     bwd.def_partition(partition=part, infer_sharding_from_operands=infer,
-                      sharding_rule="b s x, b s y, c, u -> b s x, c")
+                      sharding_rule=rule)
     return bwd
 
 
@@ -884,8 +899,8 @@ def _fa_packed_bwd(n_heads, causal, dropout_rate, res, g):
 
     qkv, seed = res
     bias = jnp.zeros((qkv.shape[-1],), qkv.dtype)
-    dqkv, _ = _packed_bwd_cp(n_heads, causal, dropout_rate, False)(qkv, g,
-                                                                   bias, seed)
+    dqkv = _packed_bwd_cp(n_heads, causal, dropout_rate, False)(qkv, g,
+                                                                bias, seed)
     return dqkv, np.zeros(seed.shape, jax.dtypes.float0)
 
 
