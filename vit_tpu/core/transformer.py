@@ -165,6 +165,13 @@ class Mlp(nn.Module):
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         cfg = self.config
+        # NOTE (negative result, measured): routing fc1 through a fused
+        # bias+GELU Pallas op (kernels/gelu.py) to emit the fc1 bias gradient
+        # from VMEM regressed the flagship step 260 -> 227 img/s — splitting
+        # GELU out of XLA's fc1 matmul-epilogue fusion adds a full (B·S,4C)
+        # HBM round-trip per layer that dwarfs the ~0.6 ms/layer db re-read it
+        # saves. The kernel stays (tested) for contexts where the producer
+        # matmul epilogue is not fusable.
         h = dense(4 * cfg.n_embd, cfg.n_embd, dtype=cfg.dtype,
                   param_dtype=cfg.param_dtype, name="fc1")(x)
         h = nn.gelu(h, approximate=False)  # torch nn.GELU default is exact erf
