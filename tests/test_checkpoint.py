@@ -60,3 +60,38 @@ def test_resume_continues_training(tmp_path):
     assert int(resumed_cont.step) == 4
     np.testing.assert_allclose(np.asarray(state_cont.params["w"]),
                                np.asarray(resumed_cont.params["w"]), atol=1e-7)
+
+
+def test_bf16_adam_mu_trains_and_checkpoints(tmp_path):
+    """--adam_mu_dtype bfloat16: moment dtype honored, loss finite, orbax
+    roundtrip preserves the bf16 accumulator."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from vit_tpu.train.optim import make_optimizer
+    from vit_tpu.train.state import TrainState
+
+    params = {"w": jnp.ones((8, 8)), "b": jnp.zeros((8,))}
+    tx = make_optimizer(1e-3, 2, 10, 1e-4, 1e-4, clip_norm=1.0,
+                        mu_dtype="bfloat16")
+    state = TrainState.create(params, tx)
+    mus = [l for l in jax.tree.leaves(state.opt_state)
+           if hasattr(l, "dtype") and l.dtype == jnp.bfloat16]
+    assert mus, "no bf16 first-moment leaves found"
+
+    def loss(p, x):
+        return jnp.sum((x @ p["w"] + p["b"]) ** 2)
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (4, 8))
+    g = jax.grad(loss)(state.params, x)
+    state2 = state.apply_gradients(g)
+    assert jnp.isfinite(loss(state2.params, x))
+
+    from vit_tpu.train.checkpoint import Checkpointer
+    ckpt = Checkpointer(str(tmp_path), mode="min")
+    ckpt.save(state2, tag="best")
+    restored = ckpt.restore(TrainState.create(params, tx), tag="best")
+    r_mus = [l for l in jax.tree.leaves(restored.opt_state)
+             if hasattr(l, "dtype") and l.dtype == jnp.bfloat16]
+    assert len(r_mus) == len(mus)

@@ -60,6 +60,10 @@ def parse_args():
     parser.add_argument('--loader_backend', type=str, default='threads',
                         choices=['threads', 'grain'],
                         help='host input-pipeline backend (grain = Google Grain)')
+    parser.add_argument('--adam_mu_dtype', type=str, default=None,
+                        choices=[None, 'float32', 'bfloat16'],
+                        help='AdamW first-moment dtype; bfloat16 halves its HBM '
+                             'traffic in the (bandwidth-bound) update')
     parser.add_argument('--profile_dir', type=str, default=None,
                         help='capture a jax.profiler trace of steps 10-15 here')
     args = parser.parse_args()

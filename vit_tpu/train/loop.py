@@ -51,7 +51,8 @@ def run_tokenizer_training(args, model, model_config, train_loader, *,
 
     perceptual = build_perceptual(args, dtype)
     tx = make_optimizer(args.lr, args.warmup_steps, args.train_steps, args.min_lr,
-                        args.weight_decay, clip_norm=1.0)
+                        args.weight_decay, clip_norm=1.0,
+                        mu_dtype=getattr(args, "adam_mu_dtype", None))
     state = TrainState.create(params, tx)
 
     ckpt = Checkpointer(args.ckpt_dir, mode="min")
