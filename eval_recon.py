@@ -74,6 +74,10 @@ def main():
     parser.add_argument('--data_dir', type=str, default=None)
     parser.add_argument('--bs', type=int, default=16)
     parser.add_argument('--batches', type=int, default=10)
+    parser.add_argument('--synthetic_mode', type=str, default='shapes',
+                        choices=['shapes', 'noise'],
+                        help="synthetic data mode (must match training; "
+                             "train_titok --dataset synthetic uses 'shapes')")
     parser.add_argument('--perceptual_weights', type=str, default=None)
     args = parser.parse_args()
 
@@ -82,8 +86,12 @@ def main():
     if args.dataset == 'synthetic':
         from vit_tpu.data.synthetic import SyntheticImageLoader
 
+        # mode must match what the tokenizer was trained on: train_titok's
+        # synthetic path uses structured 'shapes' images — evaluating a
+        # shapes-trained model on i.i.d. noise reads as ~7 dB PSNR noise-floor.
         loader = SyntheticImageLoader(cfg.image_size, args.bs,
-                                      steps_per_epoch=args.batches, seed=1)
+                                      steps_per_epoch=args.batches, seed=1,
+                                      mode=args.synthetic_mode)
     elif args.dataset == 'imagenet':
         from vit_tpu.data.imagenet import get_imagenet_loaders
 

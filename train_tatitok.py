@@ -177,16 +177,25 @@ def main():
     best_recon = float("inf")
     usage = jnp.zeros((config.codebook_size,), jnp.float32)
     step = 0
+    prev_loss = None
     for epoch in range(args.epochs):
         st = time.time()
         for images, _ in train_loader:
             load_time = time.time() - st
             images = jnp.asarray(images)
+            is_log = step % args.log_every == 0
+            rebased = is_log and prev_loss is not None
+            if rebased:
+                # drain the async-dispatch backlog so step_time measures ONE
+                # step, not up to log_every queued ones (see train/loop.py)
+                float(jax.device_get(prev_loss))
+                st = time.time()
             state, vq_stats, usage, metrics, recon = train_step(
                 state, vq_stats, images, usage)
-            if step % args.log_every == 0:
+            prev_loss = metrics["train/loss"]
+            if is_log:
                 host = {k: float(jax.device_get(v)) for k, v in metrics.items()}
-                step_time = time.time() - st - load_time
+                step_time = time.time() - st - (0.0 if rebased else load_time)
                 host.update({"train/epoch": epoch,
                              "benchmark/load_time": load_time,
                              "benchmark/step_time": step_time})

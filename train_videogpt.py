@@ -189,6 +189,7 @@ def main():
 
     host_rng = np.random.default_rng(args.seed)
     steps = 0
+    prev_loss = None
     for epoch in range(args.epochs):
         st = time.time()
         for videos, _ in train_loader:
@@ -198,10 +199,18 @@ def main():
             clip = videos[:, offset:offset + args.max_frames]
             clip = jnp.asarray(clip, jnp.float32) / 255.0
             load_time = time.time() - st
+            is_log = steps % args.log_every == 0
+            rebased = is_log and prev_loss is not None
+            if rebased:
+                # drain the async-dispatch backlog so step_time measures ONE
+                # step, not up to log_every queued ones (see train/loop.py)
+                float(jax.device_get(prev_loss))
+                st = time.time()
             state, tokens, metrics = train_step(state, titok_params, clip)
-            if steps % args.log_every == 0:
+            prev_loss = metrics["train/loss"]
+            if is_log:
                 loss = float(jax.device_get(metrics["train/loss"]))
-                step_time = time.time() - st - load_time
+                step_time = time.time() - st - (0.0 if rebased else load_time)
                 logger.log({"train/loss": loss, "train/epoch": epoch,
                             "train/steps": steps,
                             "benchmark/load_time": load_time,

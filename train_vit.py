@@ -161,14 +161,23 @@ def main():
     for epoch in range(args.epochs):
         st = time.time()
         window_metrics = []
+        prev_loss = None
         for i, (images, labels) in enumerate(train_loader):
             load_time = time.time() - st
+            is_log = i % args.log_every == 0
+            rebased = is_log and prev_loss is not None
+            if rebased:
+                # drain the async-dispatch backlog so step_time measures ONE
+                # step, not up to log_every queued ones (see train/loop.py)
+                float(jax.device_get(prev_loss))
+                st = time.time()
             state, metrics = train_step(state, jnp.asarray(images),
                                         jnp.asarray(labels), rng)
+            prev_loss = metrics["train/loss"]
             window_metrics.append(metrics)
-            if i % args.log_every == 0:
+            if is_log:
                 loss = float(jax.device_get(metrics["train/loss"]))
-                step_time = time.time() - st - load_time
+                step_time = time.time() - st - (0.0 if rebased else load_time)
                 logger.log({"train/loss": loss,
                             "train/acc": float(jax.device_get(metrics["train/acc"])),
                             "train/epoch": epoch,

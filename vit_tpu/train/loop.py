@@ -82,6 +82,7 @@ def run_tokenizer_training(args, model, model_config, train_loader, *,
     best_recon = float("inf")
     usage = jnp.zeros((codebook_size,), jnp.float32)
     global_i = 0
+    prev_loss = None
     for epoch in range(args.epochs):
         st = time.time()
         for i, (images, _) in enumerate(train_loader):
@@ -89,16 +90,27 @@ def run_tokenizer_training(args, model, model_config, train_loader, *,
                 jax.profiler.start_trace(profile_dir)
             load_time = time.time() - st
             images = jnp.asarray(images)
+            is_log = i % args.log_every == 0
+            rebased = is_log and prev_loss is not None
+            if rebased:
+                # Drain the async-dispatch backlog BEFORE timing: between log
+                # steps the host races ahead of the device, so "time around the
+                # fetch" otherwise measures up to log_every queued steps, not
+                # one (observed 2.4 s "step_time" for a 0.25 s step).
+                float(jax.device_get(prev_loss))
+                st = time.time()
             state, usage, metrics, recon = train_step(state, images, usage, rng)
+            prev_loss = metrics["train/loss"]
             if profile_dir and global_i == 15:
                 jax.block_until_ready(recon)
                 jax.profiler.stop_trace()
                 print(f"PROFILE: trace for steps 10-15 written to {profile_dir}")
             global_i += 1
-            if i % args.log_every == 0:
+            if is_log:
                 host = {k: float(jax.device_get(v)) for k, v in metrics.items()}
-                step_time = time.time() - st - load_time  # after device_get: the
-                # fetch is the only reliable completion barrier on this platform
+                step_time = time.time() - st - (0.0 if rebased else load_time)
+                # after device_get: the fetch is the only reliable completion
+                # barrier on this platform
                 host.update({"train/epoch": epoch,
                              "benchmark/load_time": load_time,
                              "benchmark/step_time": step_time})
