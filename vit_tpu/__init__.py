@@ -54,8 +54,16 @@ _EXPORTS = {
     # data
     "StreamingWebDataset": "vit_tpu.data.wds",
     "streaming_image_loader": "vit_tpu.data.wds",
+    "DataLoader": "vit_tpu.data.loader",
+    "GrainDataLoader": "vit_tpu.data.grain_loader",
+    "make_loader": "vit_tpu.data.grain_loader",
+    # kernels (ops-level entry points)
+    "flash_attention": "vit_tpu.kernels.attention",
+    "flash_attention_packed": "vit_tpu.kernels.attention",
+    "bias_gelu": "vit_tpu.kernels.gelu",
     # parallel
     "make_mesh": "vit_tpu.parallel.mesh",
+    "init_distributed": "vit_tpu.parallel.mesh",
 }
 
 
