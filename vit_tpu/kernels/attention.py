@@ -532,6 +532,9 @@ def _packed_fwd_impl(qkv, seed, n_heads: int, causal: bool, dropout_rate: float,
     # last two BLOCK dims divisible by (8, 128) — a 4D (B,S,3,D) view with a
     # unit block over the size-3 axis is rejected, the flat layout is not.)
     # bb=2 batch elements per program where VMEM allows (see kernel docstring).
+    # bb=4 was tried for the (lighter) forward too and measured WORSE
+    # (0.585 vs 0.518 ms/call at the flagship shape — VMEM pressure degrades
+    # the grid pipelining before any overlap gain shows).
     bb = 2 if (b % 2 == 0 and sp <= 384) else 1
     has_bias = bias is not None
     bias_arr = (jnp.broadcast_to(bias.astype(qkv.dtype), (_SUBLANE, three_d))
