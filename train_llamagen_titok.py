@@ -64,6 +64,8 @@ def parse_args():
     parser.add_argument('--image_every', type=int, default=5000)
     parser.add_argument('--seed', type=int, default=0)
     parser.add_argument('--no_wandb', action='store_true')
+    from vit_tpu.train.distributed import add_mesh_args
+    add_mesh_args(parser)  # --mesh dp,fsdp,tp (shared across entry points)
     args = parser.parse_args()
     args.min_lr = args.lr / 10.0
     return args
@@ -172,8 +174,7 @@ def main():
         state = ckpt.restore(state)
         print(f"RESUMED at step {int(state.step)}")
 
-    @jax.jit
-    def train_step(state, codes, usage):
+    def _train_step(state, codes, usage):
         def loss_fn(params):
             logits, indices, quantize_loss = model.apply({"params": params}, codes,
                                                          False)
@@ -190,6 +191,17 @@ def main():
                               "train/quant_loss": quantize_loss,
                               "train/codebook_usage": usage.mean()}, indices
 
+    from vit_tpu.train.distributed import maybe_mesh_runner
+
+    runner = maybe_mesh_runner(args)  # --mesh dp,fsdp,tp; None = single device
+    if runner is not None:
+        state, st_sh = runner.shard_state(state)
+        train_step = runner.jit_step(
+            _train_step, in_specs=(st_sh, "batch", "rep"),
+            out_specs=(st_sh, "rep", "rep", "batch"))
+    else:
+        train_step = jax.jit(_train_step)
+
     print(f"STATS: enc_params={params_str(state.params)}")
 
     best_recon = float('inf')
@@ -199,6 +211,8 @@ def main():
     for epoch in range(args.epochs):
         st = time.time()
         for codes, _ in loader_fn():
+            if runner is not None:
+                codes = runner.put_batch(codes)
             load_time = time.time() - st
             is_log = step % args.log_every == 0
             rebased = is_log and prev_loss is not None
@@ -223,12 +237,18 @@ def main():
                 if host["train/recon_loss"] < best_recon:
                     best_recon = host["train/recon_loss"]
                     ckpt.save_if_best(state, host["train/recon_loss"], config=config)
-            if step % args.image_every == 0 and decode is not None:
+            if step % args.image_every == 0 and decode is not None and \
+                    getattr(codes, "is_fully_addressable", True):
                 logits, _, _ = model.apply({"params": state.params}, codes)
                 pred_codes = jnp.argmax(logits, axis=-1)
+                # device_get before decode: the frozen VQ params live on the
+                # default device, mixing them with mesh-sharded codes in one
+                # dispatch would raise a committed-devices conflict
+                head = jnp.asarray(jax.device_get(codes[:4]))
+                pred = jnp.asarray(jax.device_get(pred_codes[:4]))
                 logger.log_images(
-                    {"reconstructions": jax.device_get(decode(codes[:4])),
-                     "ce_reconstructions": jax.device_get(decode(pred_codes[:4]))},
+                    {"reconstructions": jax.device_get(decode(head)),
+                     "ce_reconstructions": jax.device_get(decode(pred))},
                     step=int(jax.device_get(state.step)))
                 usage = usage * 0.0
             step += 1

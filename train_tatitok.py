@@ -67,6 +67,8 @@ def parse_args():
     parser.add_argument('--image_every', type=int, default=5000)
     parser.add_argument('--seed', type=int, default=0)
     parser.add_argument('--no_wandb', action='store_true')
+    from vit_tpu.train.distributed import add_mesh_args
+    add_mesh_args(parser)  # --mesh dp,fsdp,tp (shared across entry points)
     args = parser.parse_args()
     args.min_lr = args.lr / 10.0
     # dataset → image size (reference train_tatitok.py:134-146)
@@ -136,8 +138,7 @@ def main():
 
     clustering = args.clustering_vq
 
-    @jax.jit
-    def train_step(state, vq_stats, images, usage):
+    def _train_step(state, vq_stats, images, usage):
         def loss_fn(params):
             (recon, result), new_vars = model.apply(
                 {"params": params, "vq_stats": vq_stats}, images, None, True,
@@ -172,6 +173,20 @@ def main():
         metrics["train/codebook_usage"] = usage.mean()
         return state, vq_stats_new, usage, metrics, recon
 
+    from vit_tpu.train.distributed import maybe_mesh_runner
+
+    runner = maybe_mesh_runner(args)  # --mesh dp,fsdp,tp; None = single device
+    if runner is not None:
+        state, st_sh = runner.shard_state(state)
+        vq_stats = runner.put_rep(vq_stats)
+        # vq_stats (clustering-EMA accumulators) stay replicated: the kernel
+        # computes GLOBAL-batch stats, GSPMD inserts the cross-shard psum
+        train_step = runner.jit_step(
+            _train_step, in_specs=(st_sh, "rep", "batch", "rep"),
+            out_specs=(st_sh, "rep", "rep", "rep", "batch"))
+    else:
+        train_step = jax.jit(_train_step)
+
     print(f"STATS: enc_params={params_str(state.params)}")
 
     best_recon = float("inf")
@@ -182,7 +197,8 @@ def main():
         st = time.time()
         for images, _ in train_loader:
             load_time = time.time() - st
-            images = jnp.asarray(images)
+            images = (runner.put_batch(images) if runner is not None
+                      else jnp.asarray(images))
             is_log = step % args.log_every == 0
             rebased = is_log and prev_loss is not None
             if rebased:
@@ -209,9 +225,11 @@ def main():
                     best_recon = host["train/recon_loss"]
                     ckpt.save_if_best(state, host["train/recon_loss"], config=config)
             if step % args.image_every == 0:
-                logger.log_images({"images": jax.device_get(images[:4]),
-                                   "reconstructions": jax.device_get(recon[:4])},
-                                  step=int(jax.device_get(state.step)))
+                if getattr(recon, "is_fully_addressable", True):
+                    logger.log_images(
+                        {"images": jax.device_get(images[:4]),
+                         "reconstructions": jax.device_get(recon[:4])},
+                        step=int(jax.device_get(state.step)))
                 usage = usage * 0.0
             step += 1
             st = time.time()

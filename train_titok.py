@@ -51,15 +51,23 @@ def parse_args():
     parser.add_argument('--quantizer', type=str, default='vq', choices=['vq', 'fsq'])
     parser.add_argument('--attn_impl', type=str, default=None,
                         choices=[None, 'pallas', 'xla'])
+    parser.add_argument('--n_layers', type=int, default=None,
+                        help='override enc/dec transformer depth (debug & the '
+                             'driver multi-chip dryrun; None = preset depth)')
     parser.add_argument('--ckpt_dir', type=str, default='titok_models')
     parser.add_argument('--resume', action='store_true')
     parser.add_argument('--log_every', type=int, default=100)
     parser.add_argument('--image_every', type=int, default=5000)
     parser.add_argument('--seed', type=int, default=0)
     parser.add_argument('--no_wandb', action='store_true')
+    from vit_tpu.train.distributed import add_mesh_args
+    add_mesh_args(parser)  # --mesh dp,fsdp,tp (shared across entry points)
     parser.add_argument('--loader_backend', type=str, default='threads',
                         choices=['threads', 'grain'],
                         help='host input-pipeline backend (grain = Google Grain)')
+    parser.add_argument('--loader_processes', type=int, default=0,
+                        help='grain multiprocess worker count (0 = in-process '
+                             'reader threads); only with --loader_backend grain')
     parser.add_argument('--adam_mu_dtype', type=str, default=None,
                         choices=[None, 'float32', 'bfloat16'],
                         help='AdamW first-moment dtype; bfloat16 halves its HBM '
@@ -82,7 +90,9 @@ def get_loader(args):
         return get_imagenet_loaders(args.image_size, args.bs,
                                     data_dir=args.data_dir,
                                     backend=getattr(args, 'loader_backend',
-                                                    'threads'))[0]
+                                                    'threads'),
+                                    processes=getattr(args, 'loader_processes',
+                                                      0))[0]
     if args.dataset == 'dmlab':
         assert args.image_size == 64  # reference train_titok.py:120
         from vit_tpu.data.video import get_dmlab_image_loaders
@@ -105,6 +115,10 @@ def main():
                                args.codebook_size, args.latent_dim, args.transformer,
                                dtype=dtype, attn_impl=args.attn_impl,
                                quantizer=args.quantizer)
+    if args.n_layers is not None:
+        for name in ("enc_vit_config", "dec_vit_config"):
+            sub = getattr(titok_config, name)
+            sub.trans_config = sub.trans_config.replace(n_layers=args.n_layers)
 
     project_name = {'imagenet': 'titok', 'dmlab': 'titok-dmlab',
                     'minecraft': 'titok-minecraft',

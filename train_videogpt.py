@@ -68,6 +68,8 @@ def parse_args():
     parser.add_argument('--gen_every', type=int, default=1000)
     parser.add_argument('--seed', type=int, default=0)
     parser.add_argument('--no_wandb', action='store_true')
+    from vit_tpu.train.distributed import add_mesh_args
+    add_mesh_args(parser)  # --mesh dp,fsdp,tp (shared across entry points)
     args = parser.parse_args()
     args.min_lr = args.lr / 10.0
     assert args.condition_frames < args.max_frames  # reference train_videogpt.py:89
@@ -181,8 +183,20 @@ def main():
         state = ckpt.restore(state)
         print(f"RESUMED at step {int(state.step)}")
 
-    train_step = jax.jit(make_videogpt_train_step(model, tokenizer),
-                         donate_argnums=(0,))
+    from vit_tpu.train.distributed import maybe_mesh_runner
+
+    runner = maybe_mesh_runner(args)  # --mesh dp,fsdp,tp; None = single device
+    if runner is not None:
+        state, st_sh = runner.shard_state(state)
+        # frozen tokenizer params shard by the same path rules (fsdp/tp axes)
+        titok_params, tok_sh = runner.shard_params(titok_params)
+        train_step = runner.jit_step(
+            make_videogpt_train_step(model, tokenizer),
+            in_specs=(st_sh, tok_sh, "batch"),
+            out_specs=(st_sh, "batch", "rep"), donate_argnums=(0,))
+    else:
+        train_step = jax.jit(make_videogpt_train_step(model, tokenizer),
+                             donate_argnums=(0,))
 
     print(f"STATS: titok_params={params_str(titok_params)}, "
           f"video_gpt_params={params_str(state.params)}")
@@ -197,7 +211,9 @@ def main():
             # random temporal crop (reference train_videogpt.py:120-121)
             offset = int(host_rng.integers(0, max(videos.shape[1] - args.max_frames, 1)))
             clip = videos[:, offset:offset + args.max_frames]
-            clip = jnp.asarray(clip, jnp.float32) / 255.0
+            clip = np.asarray(clip, np.float32) / 255.0
+            clip = runner.put_batch(clip) if runner is not None \
+                else jnp.asarray(clip)
             load_time = time.time() - st
             is_log = steps % args.log_every == 0
             rebased = is_log and prev_loss is not None
@@ -219,8 +235,10 @@ def main():
                 print(f"e={epoch} s={steps} loss={loss:.3f} "
                       f"step_time={step_time:.3f}")
                 ckpt.save_if_best(state, loss, config=videogpt_config)
-            if steps % args.gen_every == 0:
+            if steps % args.gen_every == 0 and \
+                    getattr(tokens, "is_fully_addressable", True):
                 # conditional generation eval (reference train_videogpt.py:141-158)
+                # (skipped on multi-host workers: tokens are globally sharded)
                 cond = tokens[:2, :args.condition_frames]
                 gen_tokens = generate_frames(model, state.params, cond,
                                              args.max_frames - args.condition_frames)

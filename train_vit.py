@@ -70,9 +70,14 @@ def parse_args():
     parser.add_argument('--log_every', type=int, default=100)
     parser.add_argument('--seed', type=int, default=0)
     parser.add_argument('--no_wandb', action='store_true')
+    from vit_tpu.train.distributed import add_mesh_args
+    add_mesh_args(parser)  # --mesh dp,fsdp,tp (shared across entry points)
     parser.add_argument('--loader_backend', type=str, default='threads',
                         choices=['threads', 'grain'],
                         help='host input-pipeline backend (grain = Google Grain)')
+    parser.add_argument('--loader_processes', type=int, default=0,
+                        help='grain multiprocess worker count (0 = in-process '
+                             'reader threads); only with --loader_backend grain')
     args = parser.parse_args()
     args.min_lr = args.lr / 10  # reference train_vit.py:72
     return args
@@ -116,7 +121,8 @@ def get_loaders(args):
     from vit_tpu.data.imagenet import get_imagenet_loaders
 
     return get_imagenet_loaders(args.image_size, args.bs, data_dir=args.data_dir,
-                                backend=args.loader_backend)
+                                backend=args.loader_backend,
+                                processes=args.loader_processes)
 
 
 def main():
@@ -149,8 +155,22 @@ def main():
         state = ckpt.restore(state)
         print(f"RESUMED at step {int(state.step)}")
 
-    train_step = jax.jit(make_classifier_train_step(model), donate_argnums=(0,))
-    eval_step = jax.jit(make_classifier_eval_step(model))
+    from vit_tpu.train.distributed import maybe_mesh_runner
+
+    runner = maybe_mesh_runner(args)  # --mesh dp,fsdp,tp; None = single device
+    if runner is not None:
+        state, st_sh = runner.shard_state(state)
+        rng = runner.put_rep(rng)
+        train_step = runner.jit_step(
+            make_classifier_train_step(model),
+            in_specs=(st_sh, "batch", "batch", "rep"),
+            out_specs=(st_sh, "rep"), donate_argnums=(0,))
+        eval_step = runner.jit_step(
+            make_classifier_eval_step(model),
+            in_specs=(st_sh.params, "batch", "batch"), out_specs="rep")
+    else:
+        train_step = jax.jit(make_classifier_train_step(model), donate_argnums=(0,))
+        eval_step = jax.jit(make_classifier_eval_step(model))
 
     print(f"STATS: params={params_str(state.params)}, "
           f"trn_len={getattr(train_loader, '__len__', lambda: '?')()}, "
@@ -164,6 +184,9 @@ def main():
         prev_loss = None
         for i, (images, labels) in enumerate(train_loader):
             load_time = time.time() - st
+            if runner is not None:
+                images = runner.put_batch(images)
+                labels = runner.put_batch(labels)
             is_log = i % args.log_every == 0
             rebased = is_log and prev_loss is not None
             if rebased:
@@ -191,6 +214,9 @@ def main():
         # per-epoch validation (reference train_vit.py:114-125)
         val_loss, acc, n = 0.0, 0.0, 0
         for images, labels in valid_loader:
+            if runner is not None:
+                images = runner.put_batch(images)
+                labels = runner.put_batch(labels)
             m = eval_step(state.params, jnp.asarray(images), jnp.asarray(labels))
             val_loss += float(jax.device_get(m["valid/loss"]))
             acc += float(jax.device_get(m["valid/acc"]))

@@ -68,17 +68,26 @@ class Checkpointer:
         path = self.directory / tag
         tree = {"step": state.step, "params": state.params,
                 "opt_state": state.opt_state}
-        if path.exists():
+        multihost = jax.process_count() > 1
+        proc0 = jax.process_index() == 0
+        if path.exists() and (proc0 or not multihost):
             import shutil
 
             shutil.rmtree(path)
+        if multihost:
+            # all processes must enter orbax's collective save together, after
+            # proc 0 cleared the stale directory
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices(f"ckpt_clear_{tag}")
         self._ckptr.save(path, tree)
         self._ckptr.wait_until_finished()
-        if config is not None:
-            (self.directory / f"{tag}_config.json").write_text(
-                json.dumps(_config_to_dict(config), indent=2))
-        meta = {"best": self.best, "step": int(jax.device_get(state.step))}
-        (self.directory / f"{tag}_meta.json").write_text(json.dumps(meta))
+        if proc0 or not multihost:
+            if config is not None:
+                (self.directory / f"{tag}_config.json").write_text(
+                    json.dumps(_config_to_dict(config), indent=2))
+            meta = {"best": self.best, "step": int(jax.device_get(state.step))}
+            (self.directory / f"{tag}_meta.json").write_text(json.dumps(meta))
 
     def restore(self, state_template: TrainState, tag: str = "last") -> TrainState:
         path = self.directory / tag

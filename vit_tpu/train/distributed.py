@@ -1,0 +1,178 @@
+"""Mesh plumbing for the ``train_*.py`` entry points.
+
+The reference is strictly single-device (SURVEY.md §2c: ``device = torch.device(...)``
+per script; its only multi-device trace is a dead ``gather()`` at blocks.py:457). The
+TPU build's parallelism machinery (parallel/mesh.py, parallel/sharding.py) existed
+since round 1 but was reachable only from tests; this module wires it into every
+entry point behind one shared ``--mesh dp,fsdp,tp`` flag:
+
+  - default (no flag): all local devices on the data axis — ``python train_titok.py``
+    on a v5e-8 data-parallelizes over 8 chips with zero extra flags; on one chip the
+    single-device fast path is taken (no sharding machinery in the jit at all).
+  - ``--mesh 2,2,2``: dp×fsdp×tp ("data","fsdp","model") mesh; ``-1`` on one axis
+    absorbs the remaining devices.
+  - multi-host: set ``JAX_COORDINATOR=host:port JAX_NUM_PROCESSES=N JAX_PROCESS_ID=i``
+    (or ``JAX_COORDINATOR=auto`` on Cloud TPU for auto-detection) and launch the same
+    command on every host; the mesh then spans all hosts' devices and each host's
+    loader contributes a disjoint per-host batch shard
+    (``jax.make_array_from_process_local_data``). ``--bs`` stays the per-process
+    batch; the global batch is bs × process_count.
+
+XLA inserts all collectives (grad psum over "data", all-gathers for "fsdp" params,
+"model"-axis reductions) from the PartitionSpecs; the Pallas kernels survive the
+sharded jit via their custom_partitioning rules (kernels/_partition.py).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional, Sequence, Tuple, Union
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from vit_tpu.parallel.mesh import batch_sharding, init_distributed, make_mesh
+from vit_tpu.parallel.sharding import params_shardings, state_shardings
+
+
+def add_mesh_args(parser) -> None:
+    """Shared CLI surface (all seven entry points)."""
+    parser.add_argument(
+        "--mesh", type=str, default=None,
+        help="dp,fsdp,tp device mesh (e.g. '2,2,2'; -1 absorbs remaining devices). "
+             "Default: all local devices on the data axis. Multi-host: set "
+             "JAX_COORDINATOR/JAX_NUM_PROCESSES/JAX_PROCESS_ID and run the same "
+             "command on every host.")
+
+
+def parse_mesh_spec(spec: Optional[str], n_devices: int) -> Tuple[int, int, int]:
+    """'dp,fsdp,tp' → concrete axis sizes; one axis may be -1 (absorb the rest)."""
+    if spec is None:
+        return n_devices, 1, 1
+    parts = [int(p) for p in spec.split(",")]
+    assert len(parts) == 3, f"--mesh wants dp,fsdp,tp, got {spec!r}"
+    if -1 in parts:
+        assert parts.count(-1) == 1, f"only one -1 axis allowed: {spec!r}"
+        known = int(np.prod([p for p in parts if p != -1]))
+        assert n_devices % known == 0, (spec, n_devices)
+        parts[parts.index(-1)] = n_devices // known
+    dp, fsdp, tp = parts
+    assert 0 < dp * fsdp * tp <= n_devices, \
+        f"--mesh {dp}x{fsdp}x{tp} exceeds {n_devices} devices"
+    return dp, fsdp, tp
+
+
+def maybe_init_distributed() -> None:
+    """Multi-host bring-up when JAX_COORDINATOR is set (no-op otherwise).
+
+    JAX_COORDINATOR=auto relies on Cloud TPU metadata auto-detection."""
+    coord = os.environ.get("JAX_COORDINATOR")
+    if not coord:
+        return
+    if coord == "auto":
+        init_distributed()
+    else:
+        init_distributed(coordinator_address=coord,
+                         num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
+                         process_id=int(os.environ["JAX_PROCESS_ID"]))
+
+
+class MeshRunner:
+    """Sharding helpers for an entry-point loop over one ("data","fsdp","model") mesh.
+
+    Specs passed to :meth:`jit_step` are either the string kinds "batch" /"rep" or an
+    explicit (prefix-)pytree of shardings, e.g. the tree returned by
+    :meth:`shard_state` for TrainState arguments.
+    """
+
+    def __init__(self, mesh: Mesh):
+        self.mesh = mesh
+        self.batch = batch_sharding(mesh)
+        self.rep = NamedSharding(mesh, P())
+
+    # -- placement -------------------------------------------------------------
+    def shard_state(self, state) -> Tuple[Any, Any]:
+        """(sharded_state, sharding_tree) for a TrainState."""
+        sh = state_shardings(self.mesh, state)
+        return jax.device_put(state, sh), sh
+
+    def shard_params(self, params) -> Tuple[Any, Any]:
+        """(sharded_params, sharding_tree) for a bare param tree (frozen models)."""
+        sh = params_shardings(self.mesh, params)
+        return jax.device_put(params, sh), sh
+
+    def put_rep(self, x):
+        return jax.device_put(x, self.rep)
+
+    def put_batch(self, array):
+        """Host batch → global batch-sharded device array. Multi-host: this process's
+        array is its disjoint shard of the bs×process_count global batch.
+
+        A trailing partial batch (e.g. an eval loader with drop_last=False) that does
+        not divide the data axis is trimmed to the largest shardable multiple, with a
+        one-time warning — train loaders all use drop_last semantics, so this only
+        ever drops tail eval examples."""
+        array = np.asarray(array)
+        ddp = self.mesh.shape["data"] // jax.process_count()
+        if array.shape[0] % max(ddp, 1) != 0:
+            keep = (array.shape[0] // ddp) * ddp
+            if keep == 0:
+                raise ValueError(
+                    f"batch size {array.shape[0]} < data-axis size {ddp}: "
+                    f"raise --bs or shrink the mesh (--mesh dp,fsdp,tp)")
+            if not getattr(self, "_trim_warned", False):
+                self._trim_warned = True
+                print(f"WARN: batch {array.shape[0]} not divisible by data axis; "
+                      f"trimming to {keep} (further trims silent)")
+            array = array[:keep]
+        if jax.process_count() > 1:
+            global_shape = (array.shape[0] * jax.process_count(),) + array.shape[1:]
+            return jax.make_array_from_process_local_data(
+                self.batch, array, global_shape)
+        return jax.device_put(array, self.batch)
+
+    # -- compilation -----------------------------------------------------------
+    def _resolve(self, spec):
+        """"batch"/"rep" strings → NamedShardings; lists/tuples recurse; sharding
+        pytrees (e.g. a TrainState sharding tree) pass through."""
+        if isinstance(spec, str):
+            return {"batch": self.batch, "rep": self.rep}[spec]
+        if isinstance(spec, (list, tuple)):
+            return tuple(self._resolve(s) for s in spec)
+        return spec
+
+    def jit_step(self, fn, *, in_specs: Sequence, out_specs: Any,
+                 donate_argnums: Union[Tuple[int, ...], Tuple] = ()):
+        return jax.jit(
+            fn,
+            in_shardings=self._resolve(in_specs),
+            out_shardings=self._resolve(out_specs),
+            donate_argnums=donate_argnums)
+
+
+def maybe_mesh_runner(args) -> Optional[MeshRunner]:
+    """Build the entry point's MeshRunner, or None for the single-device fast path
+    (exactly the round-2 jit, no sharding machinery). Called once per script."""
+    maybe_init_distributed()
+    n = jax.device_count()
+    spec = getattr(args, "mesh", None)
+    if spec is None and n == 1:
+        return None
+    dp, fsdp, tp = parse_mesh_spec(spec, n)
+    if dp * fsdp * tp == 1:
+        return None
+    # an explicit --mesh smaller than the host takes the first dp*fsdp*tp devices
+    devices = jax.devices()[:dp * fsdp * tp]
+    runner = MeshRunner(make_mesh(dp=dp, fsdp=fsdp, tp=tp, devices=devices))
+    if jax.process_index() == 0:
+        print(f"MESH: dp={dp} fsdp={fsdp} tp={tp} over {n} devices "
+              f"({jax.process_count()} process(es))")
+    return runner
+
+
+def is_addressable(x) -> bool:
+    """True when ``jax.device_get(x)``/slicing is safe on this process (single-host
+    arrays, or multi-host fully-replicated scalars/metrics)."""
+    return getattr(x, "is_fully_addressable", True) or \
+        getattr(x, "is_fully_replicated", False)

@@ -16,6 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from vit_tpu.train.checkpoint import Checkpointer
+from vit_tpu.train.distributed import is_addressable, maybe_mesh_runner
 from vit_tpu.train.optim import make_optimizer
 from vit_tpu.train.state import TrainState, params_str
 from vit_tpu.train.step import make_tokenizer_train_step
@@ -42,6 +43,7 @@ def run_tokenizer_training(args, model, model_config, train_loader, *,
     """Generic tokenizer loop. ``args`` must carry the reference CLI fields
     (lr, warmup_steps, train_steps, min_lr, weight_decay, epochs, ...)."""
     dtype = jnp.bfloat16 if args.mixed else jnp.float32
+    runner = maybe_mesh_runner(args)  # --mesh dp,fsdp,tp; None = single device
     logger = MetricsLogger(project_name, run_name, config=vars(args),
                            use_wandb=not args.no_wandb)
 
@@ -60,14 +62,24 @@ def run_tokenizer_training(args, model, model_config, train_loader, *,
         state = ckpt.restore(state)
         print(f"RESUMED at step {int(state.step)}")
 
-    train_step = jax.jit(
-        make_tokenizer_train_step(
-            model, perceptual_loss_fn=perceptual,
-            perceptual_weight=(perceptual_weight if perceptual_weight is not None
-                               else getattr(args, "perceptual_weight", 1.0)),
-            pixel_loss=pixel_loss),
-        donate_argnums=(0, 2),
-    )
+    step_fn = make_tokenizer_train_step(
+        model, perceptual_loss_fn=perceptual,
+        perceptual_weight=(perceptual_weight if perceptual_weight is not None
+                           else getattr(args, "perceptual_weight", 1.0)),
+        pixel_loss=pixel_loss)
+    if runner is not None:
+        # dp/fsdp/tp: state sharded per parallel/sharding.py rules, batch over
+        # the "data" axis; XLA inserts the grad-psum / param-all-gather
+        # collectives (the reference has no multi-device path at all, SURVEY §2c)
+        state, st_sh = runner.shard_state(state)
+        rng = runner.put_rep(rng)
+        train_step = runner.jit_step(
+            step_fn,
+            in_specs=(st_sh, "batch", "rep", "rep"),
+            out_specs=(st_sh, "rep", "rep", "batch"),
+            donate_argnums=(0, 2))
+    else:
+        train_step = jax.jit(step_fn, donate_argnums=(0, 2))
 
     print(f"STATS: enc_params={params_str(state.params)}")
 
@@ -81,6 +93,9 @@ def run_tokenizer_training(args, model, model_config, train_loader, *,
 
     best_recon = float("inf")
     usage = jnp.zeros((codebook_size,), jnp.float32)
+    if runner is not None:
+        usage = runner.put_rep(usage)
+    is_proc0 = jax.process_index() == 0
     global_i = 0
     prev_loss = None
     for epoch in range(args.epochs):
@@ -89,7 +104,8 @@ def run_tokenizer_training(args, model, model_config, train_loader, *,
             if profile_dir and global_i == 10:
                 jax.profiler.start_trace(profile_dir)
             load_time = time.time() - st
-            images = jnp.asarray(images)
+            images = (runner.put_batch(images) if runner is not None
+                      else jnp.asarray(images))
             is_log = i % args.log_every == 0
             rebased = is_log and prev_loss is not None
             if rebased:
@@ -107,6 +123,7 @@ def run_tokenizer_training(args, model, model_config, train_loader, *,
                 print(f"PROFILE: trace for steps 10-15 written to {profile_dir}")
             global_i += 1
             if is_log:
+                # metrics are replicated → device_get is multi-host-safe
                 host = {k: float(jax.device_get(v)) for k, v in metrics.items()}
                 step_time = time.time() - st - (0.0 if rebased else load_time)
                 # after device_get: the fetch is the only reliable completion
@@ -114,12 +131,15 @@ def run_tokenizer_training(args, model, model_config, train_loader, *,
                 host.update({"train/epoch": epoch,
                              "benchmark/load_time": load_time,
                              "benchmark/step_time": step_time})
-                logger.log(host, step=int(state.step))
-                print(f"e={epoch} i={i} loss={host['train/loss']:.3f} "
-                      f"recon={host['train/recon_loss']:.3f} "
-                      f"quant={host['train/quant_loss']:.3f} "
-                      f"usage={host['train/codebook_usage']:.3f} "
-                      f"step_time={step_time:.3f}")
+                if is_proc0:
+                    logger.log(host, step=int(jax.device_get(state.step)))
+                    print(f"e={epoch} i={i} loss={host['train/loss']:.3f} "
+                          f"recon={host['train/recon_loss']:.3f} "
+                          f"quant={host['train/quant_loss']:.3f} "
+                          f"usage={host['train/codebook_usage']:.3f} "
+                          f"step_time={step_time:.3f}")
+                # ckpt saves are collective (all processes call into orbax;
+                # Checkpointer serializes the host-side bookkeeping to proc 0)
                 if host["train/recon_loss"] < best_recon:
                     best_recon = host["train/recon_loss"]
                     ckpt.save_if_best(state, host["train/recon_loss"],
@@ -128,9 +148,11 @@ def run_tokenizer_training(args, model, model_config, train_loader, *,
                 # (the reference loses the run on crash, SURVEY.md §5)
                 ckpt.save(state, config=model_config, tag="last")
             if i % args.image_every == 0:
-                logger.log_images({"images": jax.device_get(images[:4]),
-                                   "reconstructions": jax.device_get(recon[:4])},
-                                  step=int(state.step))
+                if is_proc0 and is_addressable(recon):
+                    logger.log_images(
+                        {"images": jax.device_get(images[:4]),
+                         "reconstructions": jax.device_get(recon[:4])},
+                        step=int(jax.device_get(state.step)))
                 # periodic per-layer param norms (the wandb.watch-equivalent,
                 # reference train_tatitok.py:155; grad_norm is in every step's
                 # metrics already)
@@ -138,9 +160,10 @@ def run_tokenizer_training(args, model, model_config, train_loader, *,
 
                 norms = jax.jit(lambda p: tree_norms(p, "param_norm"))(
                     state.params)
-                logger.log({k: float(v) for k, v in
-                            jax.device_get(norms).items()},
-                           step=int(state.step))
+                if is_proc0:
+                    logger.log({k: float(v) for k, v in
+                                jax.device_get(norms).items()},
+                               step=int(jax.device_get(state.step)))
                 usage = usage * 0.0
             st = time.time()
 

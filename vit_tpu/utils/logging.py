@@ -42,19 +42,38 @@ class MetricsLogger:
         self.project = project
         self.name = name
         self._wandb_run = None
+        # multi-host: only process 0 writes (all hosts share the metric values —
+        # they're replicated — so other writers would only duplicate lines)
+        try:
+            import jax
+
+            self._active = jax.process_index() == 0
+        except Exception:
+            self._active = True
+        if not self._active:
+            return
         if use_wandb and _wandb is not None:
             self._wandb_run = _wandb.init(project=project, name=name, config=config)
         self.path = Path(out_dir) / project / f"{name}.jsonl"
         self.path.parent.mkdir(parents=True, exist_ok=True)
         self._fh = self.path.open("a")
         if config is not None:
+            try:  # record which backend produced this run (self-certifying
+                import jax  # "live TPU evidence": tpu/cpu/axon/...)
+
+                platform = jax.default_backend()
+            except Exception:
+                platform = "unknown"
             self._fh.write(json.dumps(
                 {"_config": {k: _to_python(v) for k, v in config.items()
                              if isinstance(v, (int, float, str, bool, type(None)))},
+                 "_platform": platform,
                  "_ts": time.time()}) + "\n")
             self._fh.flush()
 
     def log(self, metrics: Dict[str, Any], step: Optional[int] = None):
+        if not self._active:
+            return
         payload = {k: _to_python(v) for k, v in metrics.items()}
         if step is not None:
             payload["_step"] = int(step)
@@ -69,6 +88,8 @@ class MetricsLogger:
         Without wandb, PNGs are written next to the JSONL under <run>/images/."""
         import numpy as np
 
+        if not self._active:
+            return
         if self._wandb_run is not None:
             self._wandb_run.log(
                 {k: [_wandb.Image(np.asarray(img)) for img in v]
@@ -86,6 +107,8 @@ class MetricsLogger:
                     img_dir / f"{key}_{step if step is not None else 0}_{j}.png")
 
     def close(self):
+        if not self._active:
+            return
         if self._wandb_run is not None:
             self._wandb_run.finish()
         self._fh.close()
