@@ -104,40 +104,6 @@ def test_params_physically_sharded():
     assert shard_shapes == {(16, 48)}
 
 
-@pytest.mark.parametrize("attn_impl", ["xla", "pallas"])
-def test_shard_map_dp_step_matches_single_device(attn_impl):
-    """Pallas-kernels-per-shard DP step (parallel/shard_step.py): numerics must match
-    the single-device step — including with the Pallas attention kernel running on
-    each local shard (the composition plain GSPMD can't partition)."""
-    from vit_tpu.parallel.shard_step import make_dp_tokenizer_train_step
-    from jax.sharding import Mesh
-
-    model, cfg = tiny_model()
-    for name in ("enc_vit_config", "dec_vit_config"):
-        sub = getattr(cfg, name)
-        sub.trans_config = sub.trans_config.replace(attn_impl=attn_impl)
-    images = jax.random.uniform(jax.random.PRNGKey(0), (8, 16, 16, 3))
-    usage = jnp.zeros((cfg.codebook_size,), jnp.float32)
-    rng = jax.random.PRNGKey(7)
-
-    state1 = _make_state(model, images)
-    s1, u1, m1, _ = jax.jit(make_tokenizer_train_step(model))(
-        state1, images, usage, rng)
-
-    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(8), ("data",))
-    step = make_dp_tokenizer_train_step(model, mesh)
-    state2 = _make_state(model, images)
-    with mesh:
-        s2, u2, m2, _ = step(state2, images, usage, rng)
-
-    np.testing.assert_allclose(float(m1["train/loss"]), float(m2["train/loss"]),
-                               rtol=2e-5)
-    np.testing.assert_array_equal(np.asarray(u1), np.asarray(u2))
-    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
-                    jax.tree_util.tree_leaves(jax.device_get(s2.params))):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5)
-
-
 def test_pjit_keeps_pallas_kernels(capfd):
     """Round-2: custom_partitioning rules let the dp×fsdp×tp pjit path keep the
     fused Pallas attention (packed) + VQ kernels on local shards — numerics must
@@ -178,3 +144,58 @@ def test_pjit_keeps_pallas_kernels(capfd):
     for a, b in zip(jax.tree_util.tree_leaves(s1.params),
                     jax.tree_util.tree_leaves(jax.device_get(s2.params))):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+@pytest.mark.parametrize("grad", [False, True])
+def test_pjit_dropout_streams_global_unpacked(grad):
+    """In-kernel dropout under pjit: batch AND head shards must reproduce the
+    single-device mask streams exactly (kernels/attention.py dim_offset plumbing;
+    VERDICT r2 weakness 3 — streams used to repeat across shards)."""
+    from vit_tpu.kernels.attention import flash_attention
+
+    mesh = make_mesh(dp=4, fsdp=1, tp=2)
+    b, h, s, d = 8, 4, 40, 32
+    ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    q, k, v = (jax.random.normal(kk, (b, h, s, d), jnp.float32) for kk in ks)
+    rng = jax.random.PRNGKey(3)
+
+    def f(q, k, v):
+        out = flash_attention(q, k, v, dropout_rate=0.3, dropout_rng=rng)
+        return jnp.sum(out ** 2)
+
+    fn = jax.grad(f, argnums=(0, 1, 2)) if grad else f
+    ref = jax.jit(fn)(q, k, v)
+
+    sh = NamedSharding(mesh, P("data", "model"))
+    args = tuple(jax.device_put(x, sh) for x in (q, k, v))
+    out = jax.jit(fn, in_shardings=(sh, sh, sh))(*args)
+
+    for a, b_ in zip(jax.tree_util.tree_leaves(ref),
+                     jax.tree_util.tree_leaves(out)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("grad", [False, True])
+def test_pjit_dropout_streams_global_packed(grad):
+    """Same stream-globality contract for the packed-QKV kernel (batch shards)."""
+    from vit_tpu.kernels.attention import flash_attention_packed, packed_supported
+
+    mesh = make_mesh(dp=8, fsdp=1, tp=1)
+    b, s, n_heads, n_embd = 8, 24, 2, 128
+    assert packed_supported(n_heads, n_embd, s, 0.3)
+    qkv = jax.random.normal(jax.random.PRNGKey(1), (b, s, 3 * n_embd),
+                            jnp.float32)
+    rng = jax.random.PRNGKey(5)
+
+    def f(qkv):
+        out = flash_attention_packed(qkv, n_heads, dropout_rate=0.3,
+                                     dropout_rng=rng)
+        return jnp.sum(out ** 2)
+
+    fn = jax.grad(f) if grad else f
+    ref = jax.jit(fn)(qkv)
+    sh = NamedSharding(mesh, P("data"))
+    out = jax.jit(fn, in_shardings=(sh,))(jax.device_put(qkv, sh))
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(out),
+                               rtol=1e-5, atol=1e-5)

@@ -11,7 +11,26 @@ fsdp/tp parameter sharding inside one pjit program.
 
 from __future__ import annotations
 
+import jax
 from jax.sharding import NamedSharding, PartitionSpec as P
+
+
+def dim_offset(mesh, spec_entry, local_dim: int):
+    """This shard's global start index along one array dim (traced scalar).
+
+    ``spec_entry`` is the dim's PartitionSpec entry (None / axis name / tuple of
+    axis names). Returns python 0 when the dim is unsharded, so unsharded lowers
+    stay bit-identical to the single-device path. Must be called inside a
+    custom_partitioning ``partition`` lower fn — the manual-sharding context
+    where ``jax.lax.axis_index`` resolves mesh axis names."""
+    if spec_entry is None:
+        return 0
+    axes = spec_entry if isinstance(spec_entry, tuple) else (spec_entry,)
+    idx = None
+    for ax in axes:
+        i = jax.lax.axis_index(ax)
+        idx = i if idx is None else idx * mesh.shape[ax] + i
+    return idx * local_dim
 
 
 def lead_spec(arg_info, n: int) -> list:

@@ -16,8 +16,10 @@ Design (sized for this model family: S ≤ ~4k tokens, head_dim 64):
     granularity (8) and masked — the flagship S=320 runs with zero padding copies.
 
 Backward: custom VJP into a fused single-program Pallas backward (_fa_bwd_kernel) that
-keeps every (S,S) intermediate in VMEM; beyond _MAX_FUSED_BWD_SEQ it falls back to an
-XLA rematerialized backward (no residuals besides q,k,v either way).
+keeps every (S,S) intermediate in VMEM; beyond _MAX_FUSED_BWD_SEQ a q-block-tiled
+Pallas backward takes over (_fa_bwd_tiled_kernel: per-program dk/dv partials reduced
+by XLA — covers VideoGPT's S=1024 default), with an XLA rematerialized fallback
+behind VIT_TPU_TILED_BWD=0 (no residuals besides q,k,v on any path).
 """
 
 from __future__ import annotations
@@ -72,7 +74,8 @@ def _dropout_mask(seed_ref, hid, shape, rate: float, row0=0,
 
 
 def _fa_kernel(q_ref, kt_ref, v_ref, seed_ref, o_ref, *, scale: float,
-               causal: bool, seq_len: int, block_q: int, dropout_rate: float):
+               causal: bool, seq_len: int, block_q: int, dropout_rate: float,
+               local_heads: int = 0, global_heads: int = 0):
     """One q-block of fused attention. Shapes: q (1,BQ,D), kᵀ (1,D,Sp), v (1,Sp,D),
     o (1,BQ,D). K is pre-transposed so the QKᵀ contraction is a standard (M,K)×(K,N)
     MXU matmul (Mosaic rejects a bf16 dim-1×dim-1 contraction). With dropout_rate>0
@@ -109,8 +112,15 @@ def _fa_kernel(q_ref, kt_ref, v_ref, seed_ref, o_ref, *, scale: float,
     p = jnp.exp(s - m)                 # masked entries: exp(neg - m) ≈ 0
     l = jnp.sum(p, axis=-1, keepdims=True)
     if dropout_rate > 0.0:
-        # D∘(p/l) = (D∘p)/l — drop before the PV matmul, keep the normalizer
-        p = p * _dropout_mask(seed_ref, pl.program_id(0), (bq, sp), dropout_rate,
+        # D∘(p/l) = (D∘p)/l — drop before the PV matmul, keep the normalizer.
+        # Stream id is the GLOBAL (batch, head) index: program id decomposed
+        # with the LOCAL head count, recomposed with the GLOBAL one, plus the
+        # shard offset in seed_ref[1] — so batch/head shards under pjit get
+        # the same streams the single-device run would (see *_cp lowers).
+        pid0 = pl.program_id(0)
+        hid = ((pid0 // local_heads) * global_heads + pid0 % local_heads
+               + seed_ref[1])
+        p = p * _dropout_mask(seed_ref, hid, (bq, sp), dropout_rate,
                               row0=iq * block_q, stride=seq_len)
     o = jax.lax.dot_general(
         p.astype(v.dtype), v,
@@ -120,8 +130,18 @@ def _fa_kernel(q_ref, kt_ref, v_ref, seed_ref, o_ref, *, scale: float,
     o_ref[0] = o.astype(o_ref.dtype)
 
 
+def _seed_vec(seed, hid_off):
+    """(2,) SMEM vector [seed, stream offset] — the offset is 0 except inside a
+    sharded custom_partitioning lower, where it maps local (batch, head) program
+    ids onto the single-device stream-id space."""
+    return jnp.concatenate([
+        seed.astype(jnp.int32).reshape(1),
+        jnp.asarray(hid_off, jnp.int32).reshape(1)])
+
+
 def _flash_attention_fwd_impl(q, k, v, seed, causal: bool,
-                              dropout_rate: float):
+                              dropout_rate: float, hid_off=0,
+                              global_heads: "int | None" = None):
     b, h, s, d = q.shape
     scale = 1.0 / math.sqrt(d)
     if s <= 512:
@@ -145,7 +165,10 @@ def _flash_attention_fwd_impl(q, k, v, seed, causal: bool,
 
     out = pl.pallas_call(
         functools.partial(_fa_kernel, scale=scale, causal=causal,
-                          seq_len=s, block_q=block_q, dropout_rate=dropout_rate),
+                          seq_len=s, block_q=block_q, dropout_rate=dropout_rate,
+                          local_heads=h,
+                          global_heads=(global_heads
+                                        if global_heads is not None else h)),
         grid=(b * h, n_q),
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda bh, iq: (bh, iq, 0),
@@ -165,13 +188,14 @@ def _flash_attention_fwd_impl(q, k, v, seed, causal: bool,
             transcendentals=b * h * sp * sp,
         ),
         interpret=interpret,
-    )(qf, ktf, vf, seed)
+    )(qf, ktf, vf, _seed_vec(seed, hid_off))
     return out[:, :s, :].reshape(b, h, s, d)
 
 
 def _fa_bwd_kernel(q_ref, kt_ref, v_ref, do_ref, seed_ref, dq_ref, dk_ref,
                    dv_ref, *, scale: float, causal: bool, seq_len: int,
-                   dropout_rate: float):
+                   dropout_rate: float, local_heads: int = 0,
+                   global_heads: int = 0):
     """Fused attention backward, one (batch, head) per program; full sequence in
     VMEM (profile-driven: the XLA rematerialized backward ran at ~28 TF/s because
     every (S,S) intermediate round-tripped HBM; here p/dp/ds never leave VMEM).
@@ -212,8 +236,11 @@ def _fa_bwd_kernel(q_ref, kt_ref, v_ref, do_ref, seed_ref, dq_ref, dk_ref,
     # packed shape); dv gets it via do/l along the contraction, ds via a row
     # broadcast. Same math: p_norm = ph/l, delta = deltah/l.
     if dropout_rate > 0.0:
-        # regenerate the forward mask (same seed + program id)
-        dmask = _dropout_mask(seed_ref, pl.program_id(0), (sp, sp), dropout_rate,
+        # regenerate the forward mask (same seed + global stream id)
+        pid0 = pl.program_id(0)
+        hid = ((pid0 // local_heads) * global_heads + pid0 % local_heads
+               + seed_ref[1])
+        dmask = _dropout_mask(seed_ref, hid, (sp, sp), dropout_rate,
                               stride=seq_len)
         ph_eff = ph * dmask            # D∘ph — normalization folded into do below
     else:
@@ -245,8 +272,152 @@ def _fa_bwd_kernel(q_ref, kt_ref, v_ref, do_ref, seed_ref, dq_ref, dk_ref,
 _MAX_FUSED_BWD_SEQ = 768
 
 
+def _fa_bwd_tiled_kernel(q_ref, kt_ref, v_ref, do_ref, seed_ref, dq_ref,
+                         dkp_ref, dvp_ref, *, scale: float, causal: bool,
+                         seq_len: int, block_q: int, dropout_rate: float,
+                         local_heads: int, global_heads: int):
+    """q-block-tiled attention backward for long sequences (VideoGPT's S=1024,
+    reference train_videogpt.py:26-27). One (batch·head, q-block) per program;
+    same math as _fa_bwd_kernel restricted to the block's query rows, with
+    dk/dv emitted as PER-PROGRAM PARTIALS reduced by XLA afterwards — the
+    round-2 negative result showed accumulating into a grid-resident dk/dv
+    block serializes the whole grid (BENCHMARKS.md), while per-program partials
+    + XLA reduce was already the winning pattern for the qkv-bias gradient.
+
+    Shapes: q/do/dq (1,BQ,D); kᵀ (1,D,Sp); v (1,Sp,D); dkp/dvp (1,Sp,D) at
+    block row (bh·n_q + iq) of a (BH·n_q, Sp, D) partials array. m/l are
+    recomputed from the block's own (BQ,Sp) score plane — no saved-lse pass
+    needed because the full key range is resident per program."""
+    iq = pl.program_id(1)
+    q = q_ref[0]                       # (BQ, D)
+    kt = kt_ref[0]                     # (D, Sp)
+    v = v_ref[0]                       # (Sp, D)
+    do = do_ref[0]                     # (BQ, D)
+    sp = kt.shape[1]
+    bq = q.shape[0]
+
+    prec = jax.lax.Precision.HIGHEST if q.dtype == jnp.float32 else None
+    s = jax.lax.dot_general(q, kt, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=prec) * scale
+    if causal or seq_len < sp:
+        col = jax.lax.broadcasted_iota(jnp.int32, (bq, sp), dimension=1)
+        valid = col < seq_len
+        if causal:
+            row = jax.lax.broadcasted_iota(jnp.int32, (bq, sp), dimension=0)
+            valid = jnp.logical_and(valid, col <= row + iq * block_q)
+        s = jnp.where(valid, s, jnp.finfo(jnp.float32).min)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    ph = jnp.exp(s - m)
+    l = jnp.sum(ph, axis=-1, keepdims=True)
+    linv = 1.0 / l
+    if dropout_rate > 0.0:
+        pid0 = pl.program_id(0)
+        hid = ((pid0 // local_heads) * global_heads + pid0 % local_heads
+               + seed_ref[1])
+        dmask = _dropout_mask(seed_ref, hid, (bq, sp), dropout_rate,
+                              row0=iq * block_q, stride=seq_len)
+        ph_eff = ph * dmask
+    else:
+        ph_eff = ph
+    pc = ph_eff.astype(v.dtype)
+    dol = (do.astype(jnp.float32) * linv).astype(v.dtype)
+    dvp = jax.lax.dot_general(jnp.swapaxes(pc, 0, 1), dol,
+                              (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32,
+                              precision=prec)
+    dp = jax.lax.dot_general(do, jnp.swapaxes(v, 0, 1),
+                             (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32,
+                             precision=prec)
+    if dropout_rate > 0.0:
+        dp = dp * dmask
+    deltah = jnp.sum(ph * dp, axis=-1, keepdims=True)
+    ds = (ph * ((dp - deltah * linv) * (scale * linv))).astype(q.dtype)
+    dq = jax.lax.dot_general(ds, jnp.swapaxes(kt, 0, 1),
+                             (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32, precision=prec)
+    dkp = jax.lax.dot_general(jnp.swapaxes(ds, 0, 1), q,
+                              (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32,
+                              precision=prec)
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+    dkp_ref[0] = dkp.astype(dkp_ref.dtype)
+    dvp_ref[0] = dvp.astype(dvp_ref.dtype)
+
+
+def _tiled_bwd_blocking(s: int, dropout: bool):
+    """(block_q, sp, n_q) under a ~10 MB scoped-VMEM plane budget: up to 4 (5
+    with dropout) live (BQ, Sp) fp32 planes per program."""
+    planes = 5 if dropout else 4
+    budget = 10 * 1024 * 1024
+    for bq_max in (512, 256, 128, 64):
+        n_q = -(-s // bq_max)
+        block_q = _ceil_to(-(-s // n_q), _SUBLANE)
+        sp = n_q * block_q
+        if planes * 4 * block_q * sp <= budget:
+            return block_q, sp, n_q
+    return None
+
+
+def _flash_attention_bwd_tiled_impl(q, k, v, g, seed, causal: bool,
+                                    dropout_rate: float, hid_off=0,
+                                    global_heads: "int | None" = None):
+    b, h, s, d = q.shape
+    scale = 1.0 / math.sqrt(d)
+    block_q, sp, n_q = _tiled_bwd_blocking(s, dropout_rate > 0.0)
+
+    def prep(x):
+        x = x.reshape(b * h, s, d)
+        return jnp.pad(x, ((0, 0), (0, sp - s), (0, 0)))
+
+    qf, kf, vf, gf = prep(q), prep(k), prep(v), prep(g)
+    ktf = jnp.swapaxes(kf, 1, 2)
+    interpret = jax.default_backend() != "tpu"
+
+    blk_spec = pl.BlockSpec((1, block_q, d), lambda bh, iq: (bh, iq, 0),
+                            memory_space=pltpu.VMEM)
+    seq_spec = pl.BlockSpec((1, sp, d), lambda bh, iq: (bh, 0, 0),
+                            memory_space=pltpu.VMEM)
+    kt_spec = pl.BlockSpec((1, d, sp), lambda bh, iq: (bh, 0, 0),
+                           memory_space=pltpu.VMEM)
+    part_spec = pl.BlockSpec((1, sp, d),
+                             lambda bh, iq, n_q=n_q: (bh * n_q + iq, 0, 0),
+                             memory_space=pltpu.VMEM)
+    dq, dkp, dvp = pl.pallas_call(
+        functools.partial(_fa_bwd_tiled_kernel, scale=scale, causal=causal,
+                          seq_len=s, block_q=block_q,
+                          dropout_rate=dropout_rate, local_heads=h,
+                          global_heads=(global_heads
+                                        if global_heads is not None else h)),
+        grid=(b * h, n_q),
+        in_specs=[blk_spec, kt_spec, seq_spec, blk_spec,
+                  pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=(blk_spec, part_spec, part_spec),
+        out_shape=(jax.ShapeDtypeStruct((b * h, sp, d), q.dtype),
+                   jax.ShapeDtypeStruct((b * h * n_q, sp, d), jnp.float32),
+                   jax.ShapeDtypeStruct((b * h * n_q, sp, d), jnp.float32)),
+        cost_estimate=pl.CostEstimate(
+            flops=10 * b * h * sp * sp * d,
+            bytes_accessed=(7 + 2 * n_q) * b * h * sp * d * q.dtype.itemsize,
+            transcendentals=b * h * sp * sp,
+        ),
+        interpret=interpret,
+    )(qf, ktf, vf, gf, _seed_vec(seed, hid_off))
+
+    # XLA reduces the per-q-block dk/dv partials (never serializes the grid)
+    dk = dkp.reshape(b * h, n_q, sp, d).sum(axis=1).astype(q.dtype)
+    dv = dvp.reshape(b * h, n_q, sp, d).sum(axis=1).astype(q.dtype)
+
+    def unprep(x):
+        return x[:, :s, :].reshape(b, h, s, d)
+
+    return unprep(dq), unprep(dk), unprep(dv)
+
+
 def _flash_attention_bwd_impl(q, k, v, g, seed, causal: bool,
-                              dropout_rate: float):
+                              dropout_rate: float, hid_off=0,
+                              global_heads: "int | None" = None):
     b, h, s, d = q.shape
     scale = 1.0 / math.sqrt(d)
     sp = _ceil_to(s, _SUBLANE)
@@ -264,7 +435,9 @@ def _flash_attention_bwd_impl(q, k, v, g, seed, causal: bool,
                            memory_space=pltpu.VMEM)
     dq, dk, dv = pl.pallas_call(
         functools.partial(_fa_bwd_kernel, scale=scale, causal=causal, seq_len=s,
-                          dropout_rate=dropout_rate),
+                          dropout_rate=dropout_rate, local_heads=h,
+                          global_heads=(global_heads
+                                        if global_heads is not None else h)),
         grid=(b * h,),
         in_specs=[spec, kt_spec, spec, spec,
                   pl.BlockSpec(memory_space=pltpu.SMEM)],
@@ -277,7 +450,7 @@ def _flash_attention_bwd_impl(q, k, v, g, seed, causal: bool,
             transcendentals=b * h * sp * sp,
         ),
         interpret=interpret,
-    )(qf, ktf, vf, gf, seed)
+    )(qf, ktf, vf, gf, _seed_vec(seed, hid_off))
 
     def unprep(x):
         return x[:, :s, :].reshape(b, h, s, d)
@@ -292,12 +465,14 @@ def _flash_attention_bwd_impl(q, k, v, g, seed, causal: bool,
 # declare batch (and head, for the unpacked layout) dims shardable; everything
 # else is replicated per shard and GSPMD inserts any reshards. The kernels then
 # run on local shard shapes inside one pjit program, composing with fsdp/tp
-# parameter sharding. (In-kernel dropout streams are per-LOCAL-shard ids, so
-# batch shards reuse mask streams — statistically harmless, noted for audit.)
+# parameter sharding. In-kernel dropout streams are GLOBAL (batch, head) ids:
+# each lower adds its shard's offset (_partition.dim_offset via lax.axis_index)
+# to the stream id, so the sharded run reproduces the single-device masks
+# exactly (pinned by tests/test_parallel.py::test_pjit_dropout_streams_global).
 
 from jax.experimental.custom_partitioning import custom_partitioning  # noqa: E402
 
-from vit_tpu.kernels._partition import lead_spec, named  # noqa: E402
+from vit_tpu.kernels._partition import dim_offset, lead_spec, named  # noqa: E402
 
 
 @functools.lru_cache(maxsize=None)
@@ -312,11 +487,16 @@ def _unpacked_fwd_cp(causal: bool, dropout_rate: float):
 
     def part(mesh, arg_infos, result_infos):
         b, h = lead_spec(arg_infos[0], 2)
+        gh = arg_infos[0].shape[1]          # GLOBAL head count
         qkv_sh = named(mesh, b, h, None, None)
         arg_sh = (qkv_sh, qkv_sh, qkv_sh, named(mesh, None))
 
         def lower(q, k, v, seed):
-            return _flash_attention_fwd_impl(q, k, v, seed, causal, dropout_rate)
+            # dropout streams: global (batch, head) ids regardless of sharding
+            hid_off = (dim_offset(mesh, b, q.shape[0]) * gh
+                       + dim_offset(mesh, h, q.shape[1]))
+            return _flash_attention_fwd_impl(q, k, v, seed, causal, dropout_rate,
+                                             hid_off=hid_off, global_heads=gh)
 
         return mesh, lower, qkv_sh, arg_sh
 
@@ -326,10 +506,13 @@ def _unpacked_fwd_cp(causal: bool, dropout_rate: float):
 
 
 @functools.lru_cache(maxsize=None)
-def _unpacked_bwd_cp(causal: bool, dropout_rate: float):
+def _unpacked_bwd_cp(causal: bool, dropout_rate: float, tiled: bool = False):
+    impl = (_flash_attention_bwd_tiled_impl if tiled
+            else _flash_attention_bwd_impl)
+
     @custom_partitioning
     def bwd(q, k, v, g, seed):
-        return _flash_attention_bwd_impl(q, k, v, g, seed, causal, dropout_rate)
+        return impl(q, k, v, g, seed, causal, dropout_rate)
 
     def infer(mesh, arg_infos, result_infos):
         b, h = lead_spec(arg_infos[0], 2)
@@ -338,12 +521,16 @@ def _unpacked_bwd_cp(causal: bool, dropout_rate: float):
 
     def part(mesh, arg_infos, result_infos):
         b, h = lead_spec(arg_infos[0], 2)
+        gh = arg_infos[0].shape[1]          # GLOBAL head count
         s = named(mesh, b, h, None, None)
         arg_sh = (s, s, s, s, named(mesh, None))
 
         def lower(q, k, v, g, seed):
-            return _flash_attention_bwd_impl(q, k, v, g, seed, causal,
-                                             dropout_rate)
+            hid_off = (dim_offset(mesh, b, q.shape[0]) * gh
+                       + dim_offset(mesh, h, q.shape[1]))
+            return impl(q, k, v, g, seed, causal,
+                        dropout_rate, hid_off=hid_off,
+                        global_heads=gh)
 
         return mesh, lower, (s, s, s), arg_sh
 
@@ -364,15 +551,29 @@ def _fa_fwd(q, k, v, seed, causal, dropout_rate):
             (q, k, v, seed))
 
 
+def _tiled_bwd_enabled() -> bool:
+    import os
+
+    return os.environ.get("VIT_TPU_TILED_BWD", "1") != "0"
+
+
 def _fa_bwd(causal, dropout_rate, res, g):
     import numpy as np
 
     q, k, v, seed = res
     seed_grad = np.zeros(seed.shape, jax.dtypes.float0)
-    if q.shape[-2] > _MAX_FUSED_BWD_SEQ:
-        # Rematerialized XLA backward for long sequences (VMEM bound; the fused
-        # kernel also loses to XLA here — measured at S=1024). Dropout never takes
-        # this branch (fused dropout is gated to single-q-block sizes).
+    s = q.shape[-2]
+    if s > _MAX_FUSED_BWD_SEQ:
+        # Beyond the single-program VMEM bound: q-block-tiled Pallas backward
+        # with per-program dk/dv partials reduced by XLA (the round-2
+        # revisited-accumulator variant that LOST to XLA is documented in
+        # BENCHMARKS.md — partials avoid its grid serialization).
+        # VIT_TPU_TILED_BWD=0 restores the XLA rematerialized fallback.
+        if _tiled_bwd_enabled() and \
+                _tiled_bwd_blocking(s, dropout_rate > 0.0) is not None:
+            dq, dk, dv = _unpacked_bwd_cp(causal, dropout_rate, True)(
+                q, k, v, g, seed)
+            return dq, dk, dv, seed_grad
         assert dropout_rate == 0.0
         _, vjp = jax.vjp(lambda q_, k_, v_: attention_xla(q_, k_, v_, causal=causal),
                          q, k, v)
@@ -485,7 +686,9 @@ def _fa_packed_kernel(q_ref, k_ref, v_ref, bias_ref, seed_ref, o_ref, *,
         p = jnp.exp(s - m)
         l = jnp.sum(p, axis=-1, keepdims=True)
         if dropout_rate > 0.0:
-            hid = (pid_b * bb + bi) * n_heads + h2 * hb + j
+            # seed_ref[1]: batch-shard offset (× n_heads) so pjit batch shards
+            # reproduce the single-device streams
+            hid = (pid_b * bb + bi) * n_heads + h2 * hb + j + seed_ref[1]
             p = p * _dropout_mask(seed_ref, hid, (bq, sp), dropout_rate,
                                   row0=iq * block_q, stride=seq_len)
         return p.astype(v.dtype), l
@@ -510,7 +713,7 @@ def _fa_packed_kernel(q_ref, k_ref, v_ref, bias_ref, seed_ref, o_ref, *,
 
 
 def _packed_fwd_impl(qkv, seed, n_heads: int, causal: bool, dropout_rate: float,
-                     bias=None):
+                     bias=None, hid_off=0):
     b, s, three_d = qkv.shape
     n_embd = three_d // 3
     d = n_embd // n_heads
@@ -568,7 +771,7 @@ def _packed_fwd_impl(qkv, seed, n_heads: int, causal: bool, dropout_rate: float,
             transcendentals=b * n_heads * sp * sp,
         ),
         interpret=interpret,
-    )(x, x, x, bias_arr, seed)
+    )(x, x, x, bias_arr, _seed_vec(seed, hid_off))
     return out[:, :s, :] if sp != s else out
 
 
@@ -642,7 +845,7 @@ def _fa_packed_bwd_kernel(q_ref, k_ref, v_ref, do_ref, bias_ref, seed_ref,
         ph = jnp.exp(s - m)            # unnormalized; see _fa_bwd_kernel note
         l = jnp.sum(ph, axis=-1, keepdims=True)
         if dropout_rate > 0.0:
-            hid = (pid_b * bb + bi) * n_heads + h2 * hb + j
+            hid = (pid_b * bb + bi) * n_heads + h2 * hb + j + seed_ref[1]
             dmask = _dropout_mask(seed_ref, hid, (sp, sp), dropout_rate,
                                   stride=seq_len)
         else:
@@ -743,7 +946,7 @@ def _fa_packed_bwd_kernel(q_ref, k_ref, v_ref, do_ref, bias_ref, seed_ref,
 
 
 def _packed_bwd_impl(qkv, g, seed, n_heads: int, causal: bool,
-                     dropout_rate: float, bias=None):
+                     dropout_rate: float, bias=None, hid_off=0):
     b, s, three_d = qkv.shape
     n_embd = three_d // 3
     d = n_embd // n_heads
@@ -804,7 +1007,7 @@ def _packed_bwd_impl(qkv, g, seed, n_heads: int, causal: bool,
             transcendentals=b * n_heads * sp * sp,
         ),
         interpret=interpret,
-    )(x, x, x, g, bias_arr, seed)
+    )(x, x, x, g, bias_arr, _seed_vec(seed, hid_off))
     dqkv, db = out if has_bias else (out, None)
     if sp != s:
         dqkv = dqkv[:, :s]
@@ -829,8 +1032,10 @@ def _packed_fwd_cp(n_heads: int, causal: bool, dropout_rate: float,
         arg_sh = (sh, named(mesh, None), named(mesh, None))
 
         def lower(qkv, bias, seed):
+            hid_off = dim_offset(mesh, b, qkv.shape[0]) * n_heads
             return _packed_fwd_impl(qkv, seed, n_heads, causal, dropout_rate,
-                                    bias=bias if has_bias else None)
+                                    bias=bias if has_bias else None,
+                                    hid_off=hid_off)
 
         return mesh, lower, sh, arg_sh
 
@@ -865,9 +1070,11 @@ def _packed_bwd_cp(n_heads: int, causal: bool, dropout_rate: float,
         axes = b if isinstance(b, tuple) else ((b,) if b else ())
 
         def lower(qkv, g, bias, seed):
+            hid_off = dim_offset(mesh, b, qkv.shape[0]) * n_heads
             dqkv, db = _packed_bwd_impl(qkv, g, seed, n_heads, causal,
                                         dropout_rate,
-                                        bias=bias if has_bias else None)
+                                        bias=bias if has_bias else None,
+                                        hid_off=hid_off)
             if not has_bias:
                 return dqkv
             if axes:
@@ -971,14 +1178,16 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
     """Fused attention. q,k,v: (B, H, S, D) -> (B, H, S, D).
 
     dropout_rate > 0 applies in-kernel dropout to the attention probabilities
-    (requires dropout_rng; supported up to the fused-backward bound S ≤ 768 —
-    the mask stream hashes GLOBAL (row, col) coordinates so q-block-tiled
-    forwards and the full-sequence backward regenerate identical masks)."""
+    (requires dropout_rng) — the mask stream hashes GLOBAL (row, col)
+    coordinates, so q-block-tiled forwards and full-sequence OR q-block-tiled
+    backwards regenerate identical masks regardless of their block sizes."""
     s = q.shape[-2]
     if dropout_rate > 0.0:
         if dropout_rng is None:
             raise ValueError("dropout_rate > 0 requires dropout_rng")
-        if s > _MAX_FUSED_BWD_SEQ:
+        if s > _MAX_FUSED_BWD_SEQ and not (
+                _tiled_bwd_enabled()
+                and _tiled_bwd_blocking(s, True) is not None):
             return attention_xla(q, k, v, causal=causal,
                                  dropout_rate=dropout_rate,
                                  dropout_rng=dropout_rng)
