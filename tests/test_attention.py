@@ -276,3 +276,66 @@ def test_packed_dropout_matches_explicit_mask_reference(s):
     gr = jax.grad(lambda x: jnp.sum(ref(x) ** 2))(qkv)
     np.testing.assert_allclose(np.asarray(gk), np.asarray(gr),
                                atol=5e-3, rtol=5e-3)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+@pytest.mark.parametrize("s", [1024, 1000])
+def test_tiled_bwd_grad_matches_xla(causal, s):
+    """S > _MAX_FUSED_BWD_SEQ routes to the q-block-tiled Pallas backward with
+    per-program dk/dv partials (VideoGPT's default S=1024 context,
+    reference train_videogpt.py:26-27). Gradients must match the XLA reference;
+    s=1000 additionally exercises padded tail rows/columns."""
+    from vit_tpu.kernels.attention import _tiled_bwd_blocking
+
+    assert _tiled_bwd_blocking(s, False) is not None
+    q, k, v = _rand_qkv(jax.random.PRNGKey(4), b=1, h=2, s=s, d=64)
+
+    def loss_pallas(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, causal=causal) ** 2)
+
+    def loss_xla(q, k, v):
+        return jnp.sum(attention_xla(q, k, v, causal=causal) ** 2)
+
+    g1 = jax.grad(loss_pallas, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=TOL,
+                                   rtol=TOL)
+
+
+def test_tiled_bwd_dropout_grad_matches_explicit_mask():
+    """Dropout at S > 768 keeps the fused path end-to-end: tiled-backward grads
+    must match an explicit-mask XLA reference built from the SAME in-kernel
+    mask stream (global (row,col) hash — block sizes don't matter)."""
+    from vit_tpu.kernels.attention import (_dropout_mask, _MAX_FUSED_BWD_SEQ,
+                                           _seed_vec)
+
+    s, rate = 800, 0.25
+    assert s > _MAX_FUSED_BWD_SEQ
+    b, h, d = 1, 2, 64
+    q, k, v = _rand_qkv(jax.random.PRNGKey(5), b=b, h=h, s=s, d=d)
+    rng = jax.random.PRNGKey(9)
+    seed = jax.random.randint(rng, (1,), 0, 2 ** 31 - 1, jnp.int32)
+    seed_vec = _seed_vec(seed, 0)
+
+    def loss_pallas(q, k, v):
+        out = flash_attention(q, k, v, causal=False, dropout_rate=rate,
+                              dropout_rng=rng)
+        return jnp.sum(out ** 2)
+
+    def loss_ref(q, k, v):
+        scale = 1.0 / np.sqrt(d)
+        sc = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * scale
+        p = jax.nn.softmax(sc, axis=-1)
+        masks = jnp.stack([_dropout_mask(seed_vec, jnp.uint32(i), (s, s), rate,
+                                         stride=s)
+                           for i in range(b * h)]).reshape(b, h, s, s)
+        out = jnp.einsum("bhqk,bhkd->bhqd", (p * masks).astype(v.dtype), v)
+        return jnp.sum(out ** 2)
+
+    g1 = jax.grad(loss_pallas, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=2e-3,
+                                   rtol=2e-3)
