@@ -99,6 +99,39 @@ def main():
         WdsImageClassification(paths, args.image_size, train=True), args.bs),
         "map+pil (in-memory)")
 
+    # ImageFolder path (the reference's actual loader shape, datasets.py:7-28):
+    # threaded loader (native C++ decode when built) vs Grain in-process vs
+    # Grain multiprocess workers.
+    folder = Path(tmp) / "imagenet" / "train"
+    d = folder / "class0"
+    d.mkdir(parents=True)
+    for i in range(args.images):
+        img = Image.fromarray(rng.integers(
+            0, 255, (args.src_size, args.src_size, 3), dtype=np.uint8))
+        img.save(d / f"img{i:05d}.jpeg")
+    (folder.parent / "val" / "class0").mkdir(parents=True)
+    img.save(folder.parent / "val" / "class0" / "img0.jpeg")
+
+    from vit_tpu.data.grain_loader import grain_available
+    from vit_tpu.data.imagenet import get_imagenet_loaders
+
+    root = str(folder.parent)
+    measure(lambda: get_imagenet_loaders(args.image_size, args.bs,
+                                         data_dir=root)[0],
+            "imagefolder+threads (native auto)")
+    measure(lambda: get_imagenet_loaders(args.image_size, args.bs,
+                                         data_dir=root, use_native="never")[0],
+            "imagefolder+threads (pil)")
+    if grain_available():
+        measure(lambda: get_imagenet_loaders(args.image_size, args.bs,
+                                             data_dir=root,
+                                             backend="grain")[0],
+                "imagefolder+grain (in-process)")
+        measure(lambda: get_imagenet_loaders(args.image_size, args.bs,
+                                             data_dir=root, backend="grain",
+                                             processes=2)[0],
+                "imagefolder+grain (2 procs)")
+
 
 if __name__ == "__main__":
     main()

@@ -87,7 +87,8 @@ def get_imagenet_loaders(image_size: int, bs: int,
                          num_workers: int = 8,
                          shard_id: int = 0, num_shards: int = 1,
                          use_native: str = "auto",
-                         backend: str = "threads"
+                         backend: str = "threads",
+                         processes: int = 0
                          ) -> Tuple[DataLoader, DataLoader]:
     """Loader parity with reference datasets.py:7-28.
 
@@ -95,6 +96,8 @@ def get_imagenet_loaders(image_size: int, bs: int,
     library builds; "never" forces the PIL path; "always" errors if unavailable.
     backend: "threads" (loader.DataLoader) or "grain" (grain_loader.GrainDataLoader);
     both compose with the native collate.
+    processes: grain multiprocess worker count (0 = in-process reader threads);
+    collation stays in the parent, so only the picklable dataset ships to workers.
     """
     from vit_tpu.data.grain_loader import make_loader
     data_dir = data_dir or '/mnt/data/Public_datasets/imagenet/imagenet_pytorch'
@@ -114,20 +117,20 @@ def get_imagenet_loaders(image_size: int, bs: int,
             RawJpegDataset(train_set), bs, backend=backend, shuffle=True,
             drop_last=True, num_workers=num_workers, prefetch=2,
             collate_fn=_native_collate(image_size, True, num_workers),
-            shard_id=shard_id, num_shards=num_shards)
+            shard_id=shard_id, num_shards=num_shards, processes=processes)
         valid_loader = make_loader(
             RawJpegDataset(valid_set), 2 * bs, backend=backend, shuffle=False,
             drop_last=False, num_workers=max(1, num_workers // 2),
             collate_fn=_native_collate(image_size, False, num_workers),
-            shard_id=shard_id, num_shards=num_shards)
+            shard_id=shard_id, num_shards=num_shards, processes=processes)
         return train_loader, valid_loader
 
     train_loader = make_loader(train_set, bs, backend=backend, shuffle=True,
                                drop_last=True, num_workers=num_workers,
                                prefetch=2, shard_id=shard_id,
-                               num_shards=num_shards)
+                               num_shards=num_shards, processes=processes)
     valid_loader = make_loader(valid_set, 2 * bs, backend=backend,
                                shuffle=False, drop_last=False,
                                num_workers=max(1, num_workers // 2),
-                               shard_id=shard_id, num_shards=num_shards)
+                               shard_id=shard_id, num_shards=num_shards, processes=processes)
     return train_loader, valid_loader
