@@ -39,4 +39,5 @@ def test_psnr_metric():
     assert np.isposinf(np.asarray(psnr(a, a))).all() or \
         (np.asarray(psnr(a, a)) > 100).all()
     b = jnp.ones((2, 8, 8, 3)) * 0.1
-    np.testing.assert_allclose(np.asarray(psnr(a, b)), 20.0, atol=1e-4)
+    # atol covers TPU transcendental precision: log10 on-chip gives 19.999851.
+    np.testing.assert_allclose(np.asarray(psnr(a, b)), 20.0, atol=5e-4)
