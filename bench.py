@@ -125,8 +125,10 @@ def main():
         out["gap_to_3x"] = {
             "target_img_per_s": round(3 * REFERENCE_IMG_PER_S_ESTIMATE, 1),
             "speed_of_light_this_chip_img_per_s": round(sol, 1),
+            # ln_stats_extra_reads (4.5 ms) was CLOSED round 3 as a measured
+            # negative: fusing LN into the matmul read costs more in AD
+            # residual traffic than the stats pass saves (BENCHMARKS.md).
             "open_software_pools_ms_per_step": {
-                "ln_stats_extra_reads": 4.5,
                 "adamw_bf16_moments_optin": 2.5,
                 "dwconv_layout": 7.0},
         }

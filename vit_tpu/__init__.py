@@ -60,7 +60,7 @@ _EXPORTS = {
     # kernels (ops-level entry points)
     "flash_attention": "vit_tpu.kernels.attention",
     "flash_attention_packed": "vit_tpu.kernels.attention",
-    "bias_gelu": "vit_tpu.kernels.gelu",
+    "fused_ln_matmul": "vit_tpu.kernels.ln_matmul",
     # parallel
     "make_mesh": "vit_tpu.parallel.mesh",
     "init_distributed": "vit_tpu.parallel.mesh",

@@ -31,6 +31,9 @@ class TransformerConfig:
     dtype: jnp.dtype = jnp.bfloat16          # compute dtype (MXU-friendly)
     param_dtype: jnp.dtype = jnp.float32     # parameter dtype
     attn_impl: Optional[str] = None          # None=auto, "pallas", "xla"
+    fused_ln: Optional[bool] = None          # None=auto: fuse pre-LN into the
+                                             # qkv/fc1 matmul read on TPU
+                                             # (kernels/ln_matmul.py)
     remat: bool = False                      # jax.checkpoint each block
     # Author's minimal core uses F.layer_norm without learnable affine params
     # (reference: transformer.py:43-44); the Bytedance core uses nn.LayerNorm with

@@ -30,6 +30,34 @@ from vit_tpu.ops.attention import fused_qkv_attention, multi_head_attention
 from vit_tpu.utils.init import dense, torch_bias_init, torch_kernel_init
 
 
+def _use_fused_ln(cfg: TransformerConfig, decode_pos) -> tuple:
+    """(qkv, mlp) gates for fused LN→matmul (kernels/ln_matmul.py); applies to
+    the non-affine pre-LN sites outside KV-cache decode. None = auto;
+    VIT_TPU_FUSED_LN=0/1/qkv/mlp overrides (site-granular for A/B benching)."""
+    import os
+
+    if cfg.ln_affine or decode_pos is not None:
+        return False, False
+    from vit_tpu.kernels.ln_matmul import supported
+
+    if not (supported(cfg.n_embd, 3 * cfg.n_embd)
+            and supported(cfg.n_embd, 4 * cfg.n_embd)):
+        return False, False
+    env = os.environ.get("VIT_TPU_FUSED_LN")
+    if env is not None:
+        if env in ("qkv", "mlp"):
+            return env == "qkv", env == "mlp"
+        return (env != "0",) * 2
+    if cfg.fused_ln is not None:
+        return (cfg.fused_ln,) * 2
+    # Auto default: OFF. Measured negative on the flagship (BENCHMARKS.md):
+    # the fused forward kernels run at matmul roofline, but the custom_vjp's
+    # backward glue (materialized dzc, standalone zpre convert, un-fused
+    # LN-backward) costs more than the saved LN stats pass. Opt-in via config
+    # or env for shapes where LN reads dominate.
+    return False, False
+
+
 class _ProjParams(nn.Module):
     """Param holder with nn.Dense's exact tree ({kernel, bias}) and torch
     nn.Linear init, for paths that apply the kernel and bias separately (the
@@ -86,7 +114,8 @@ class Attention(nn.Module):
     config: TransformerConfig
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True, decode_pos=None):
+    def __call__(self, x, deterministic: bool = True, decode_pos=None,
+                 fused_ln: bool = False):
         cfg = self.config
         # Same param tree as dense(name="qkv") but applied with the bias split
         # out: the packed Pallas path adds it in-kernel and emits its gradient
@@ -94,7 +123,15 @@ class Attention(nn.Module):
         kernel, bias = _ProjParams(3 * cfg.n_embd, cfg.n_embd,
                                    param_dtype=cfg.param_dtype, name="qkv")()
         dt = cfg.dtype or jnp.result_type(x.dtype, kernel.dtype)
-        qkv_nb = jnp.dot(x.astype(dt), kernel.astype(dt))
+        if fused_ln:
+            # x is the RAW residual stream: ln1 is fused into the qkv matmul
+            # read (kernels/ln_matmul.py); the qkv bias stays in the attention
+            # kernel as before.
+            from vit_tpu.kernels.ln_matmul import fused_ln_matmul
+
+            qkv_nb = fused_ln_matmul(x.astype(dt), kernel.astype(dt))
+        else:
+            qkv_nb = jnp.dot(x.astype(dt), kernel.astype(dt))
         if decode_pos is not None:
             qkv = qkv_nb + bias.astype(dt)
             q, k, v = rearrange(qkv, "b n (three h d) -> three b h n d",
@@ -163,18 +200,29 @@ class Mlp(nn.Module):
     config: TransformerConfig
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True):
+    def __call__(self, x, deterministic: bool = True, fused_ln: bool = False):
         cfg = self.config
-        # NOTE (negative result, measured): routing fc1 through a fused
-        # bias+GELU Pallas op (kernels/gelu.py) to emit the fc1 bias gradient
-        # from VMEM regressed the flagship step 260 -> 227 img/s — splitting
-        # GELU out of XLA's fc1 matmul-epilogue fusion adds a full (B·S,4C)
-        # HBM round-trip per layer that dwarfs the ~0.6 ms/layer db re-read it
-        # saves. The kernel stays (tested) for contexts where the producer
-        # matmul epilogue is not fusable.
-        h = dense(4 * cfg.n_embd, cfg.n_embd, dtype=cfg.dtype,
-                  param_dtype=cfg.param_dtype, name="fc1")(x)
-        h = nn.gelu(h, approximate=False)  # torch nn.GELU default is exact erf
+        # NOTE (negative result, measured): routing fc1 through a standalone
+        # fused bias+GELU Pallas op (since pruned) to emit the fc1 bias
+        # gradient from VMEM regressed the flagship step 260 -> 227 img/s —
+        # splitting GELU out of XLA's fc1 matmul-epilogue fusion adds a full
+        # (B·S,4C) HBM round-trip per layer that dwarfs the ~0.6 ms/layer db
+        # re-read it saves. The fused_ln path below does NOT repeat that
+        # mistake: ln2, fc1, its bias AND the GELU all run inside one kernel
+        # (kernels/ln_matmul.py), so no epilogue fusion is split.
+        if fused_ln:
+            from vit_tpu.kernels.ln_matmul import fused_ln_matmul
+
+            kernel, fc1_bias = _ProjParams(4 * cfg.n_embd, cfg.n_embd,
+                                           param_dtype=cfg.param_dtype,
+                                           name="fc1")()
+            dt = cfg.dtype or jnp.result_type(x.dtype, kernel.dtype)
+            h = fused_ln_matmul(x.astype(dt), kernel.astype(dt),
+                                fc1_bias.astype(dt), gelu=True)
+        else:
+            h = dense(4 * cfg.n_embd, cfg.n_embd, dtype=cfg.dtype,
+                      param_dtype=cfg.param_dtype, name="fc1")(x)
+            h = nn.gelu(h, approximate=False)  # torch GELU default: exact erf
         h = dense(cfg.n_embd, 4 * cfg.n_embd, dtype=cfg.dtype,
                   param_dtype=cfg.param_dtype, name="fc2")(h)
         h = nn.Dropout(rate=cfg.dropout)(h, deterministic=deterministic)
@@ -188,10 +236,16 @@ class TransformerLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True, decode_pos=None):
-        x = x + Attention(self.config, name="attn")(
-            LayerNorm(self.config, name="ln1")(x), deterministic, decode_pos)
-        x = x + Mlp(self.config, name="mlp")(
-            LayerNorm(self.config, name="ln2")(x), deterministic)
+        cfg = self.config
+        fused_qkv, fused_mlp = _use_fused_ln(cfg, decode_pos)
+        # Fused path: Attention/Mlp receive the RAW stream and fold the pre-LN
+        # into their first matmul's operand read. Identical param tree either
+        # way (non-affine LN has no params — gated in _use_fused_ln).
+        h1 = x if fused_qkv else LayerNorm(cfg, name="ln1")(x)
+        x = x + Attention(cfg, name="attn")(h1, deterministic, decode_pos,
+                                            fused_ln=fused_qkv)
+        h2 = x if fused_mlp else LayerNorm(cfg, name="ln2")(x)
+        x = x + Mlp(cfg, name="mlp")(h2, deterministic, fused_ln=fused_mlp)
         return x
 
 
