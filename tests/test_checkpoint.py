@@ -20,6 +20,9 @@ def test_save_restore_roundtrip(tmp_path):
     state = state.apply_gradients(jax.tree.map(jnp.ones_like, state.params))
     ckpt = Checkpointer(str(tmp_path), mode="min")
     ckpt.save(state, config={"image_size": 32}, tag="last")
+    # saves are async (disk write in a background thread): finalize() before
+    # reading the checkpoint back from a DIFFERENT Checkpointer instance
+    ckpt.finalize()
 
     restored = Checkpointer(str(tmp_path)).restore(_state(0.0), tag="last")
     assert int(restored.step) == 1
@@ -52,7 +55,9 @@ def test_resume_continues_training(tmp_path):
     grads = jax.tree.map(jnp.ones_like, state.params)
     for _ in range(3):
         state = state.apply_gradients(grads)
-    Checkpointer(str(tmp_path)).save(state, tag="last")
+    writer = Checkpointer(str(tmp_path))
+    writer.save(state, tag="last")
+    writer.finalize()
 
     resumed = Checkpointer(str(tmp_path)).restore(_state(0.0), tag="last")
     state_cont = state.apply_gradients(grads)

@@ -61,6 +61,8 @@ def parse_args():
     parser.add_argument('--ckpt_dir', type=str, default='titok_models/llamagen')
     parser.add_argument('--resume', action='store_true')
     parser.add_argument('--log_every', type=int, default=100)
+    parser.add_argument('--ckpt_every', type=int, default=250,
+                        help='min steps between full checkpoint saves (saves move GBs device->host; decoupled from --log_every)')
     parser.add_argument('--image_every', type=int, default=5000)
     parser.add_argument('--seed', type=int, default=0)
     parser.add_argument('--no_wandb', action='store_true')

@@ -57,6 +57,8 @@ def parse_args():
     parser.add_argument('--ckpt_dir', type=str, default='titok_models')
     parser.add_argument('--resume', action='store_true')
     parser.add_argument('--log_every', type=int, default=100)
+    parser.add_argument('--ckpt_every', type=int, default=250,
+                        help='min steps between full checkpoint saves (saves move GBs device->host; decoupled from --log_every)')
     parser.add_argument('--image_every', type=int, default=5000)
     parser.add_argument('--seed', type=int, default=0)
     parser.add_argument('--no_wandb', action='store_true')
@@ -68,7 +70,7 @@ def parse_args():
     parser.add_argument('--loader_processes', type=int, default=0,
                         help='grain multiprocess worker count (0 = in-process '
                              'reader threads); only with --loader_backend grain')
-    parser.add_argument('--adam_mu_dtype', type=str, default=None,
+    parser.add_argument('--adam_mu_dtype', type=str, default='bfloat16',
                         choices=[None, 'float32', 'bfloat16'],
                         help='AdamW first-moment dtype; bfloat16 halves its HBM '
                              'traffic in the (bandwidth-bound) update')

@@ -65,6 +65,9 @@ def parse_args():
     parser.add_argument('--ckpt_dir', type=str, default='ckpt/videogpt')
     parser.add_argument('--resume', action='store_true')
     parser.add_argument('--log_every', type=int, default=100)
+    parser.add_argument('--ckpt_every', type=int, default=250,
+                        help='min steps between full checkpoint saves (saves '
+                             'move GBs device->host; decoupled from --log_every)')
     parser.add_argument('--gen_every', type=int, default=1000)
     parser.add_argument('--seed', type=int, default=0)
     parser.add_argument('--no_wandb', action='store_true')
@@ -204,6 +207,10 @@ def main():
     host_rng = np.random.default_rng(args.seed)
     steps = 0
     prev_loss = None
+    # full-state saves move GBs device->host; decouple from log cadence
+    # (see vit_tpu/train/loop.py)
+    ckpt_every = getattr(args, "ckpt_every", None) or 250
+    last_ckpt_step = None
     for epoch in range(args.epochs):
         st = time.time()
         for videos, _ in train_loader:
@@ -234,7 +241,10 @@ def main():
                            step=int(state.step))
                 print(f"e={epoch} s={steps} loss={loss:.3f} "
                       f"step_time={step_time:.3f}")
-                ckpt.save_if_best(state, loss, config=videogpt_config)
+                if (last_ckpt_step is None
+                        or steps - last_ckpt_step >= ckpt_every):
+                    ckpt.save_if_best(state, loss, config=videogpt_config)
+                    last_ckpt_step = steps
             if steps % args.gen_every == 0 and \
                     getattr(tokens, "is_fully_addressable", True):
                 # conditional generation eval (reference train_videogpt.py:141-158)
@@ -254,6 +264,7 @@ def main():
             steps += 1
             st = time.time()
 
+    ckpt.finalize()
     logger.close()
 
 

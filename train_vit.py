@@ -229,6 +229,7 @@ def main():
             best_acc = acc
             ckpt.save_if_best(state, acc, config=vit_config)
 
+    ckpt.finalize()
     logger.close()
 
 

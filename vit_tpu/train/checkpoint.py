@@ -65,11 +65,18 @@ class Checkpointer:
         return True
 
     def save(self, state: TrainState, *, config=None, tag: str = "last"):
+        """Kick off an ASYNC save: the device→host copy happens before this
+        returns (donation-safe — the training step may overwrite the buffers),
+        but the disk write runs in a background thread (orbax AsyncCheckpointer).
+        Call ``finalize()`` before reading the checkpoint back or exiting.
+        Crash window (pre-existing): the previous ``tag`` dir is removed before
+        the new write is durable; a crash in between loses that tag."""
         path = self.directory / tag
         tree = {"step": state.step, "params": state.params,
                 "opt_state": state.opt_state}
         multihost = jax.process_count() > 1
         proc0 = jax.process_index() == 0
+        self._ckptr.wait_until_finished()  # serialize with the previous save
         if path.exists() and (proc0 or not multihost):
             import shutil
 
@@ -81,7 +88,6 @@ class Checkpointer:
 
             multihost_utils.sync_global_devices(f"ckpt_clear_{tag}")
         self._ckptr.save(path, tree)
-        self._ckptr.wait_until_finished()
         if proc0 or not multihost:
             if config is not None:
                 (self.directory / f"{tag}_config.json").write_text(
@@ -89,7 +95,12 @@ class Checkpointer:
             meta = {"best": self.best, "step": int(jax.device_get(state.step))}
             (self.directory / f"{tag}_meta.json").write_text(json.dumps(meta))
 
+    def finalize(self):
+        """Block until any in-flight async save is durable on disk."""
+        self._ckptr.wait_until_finished()
+
     def restore(self, state_template: TrainState, tag: str = "last") -> TrainState:
+        self._ckptr.wait_until_finished()
         path = self.directory / tag
         tree = {"step": state_template.step, "params": state_template.params,
                 "opt_state": state_template.opt_state}

@@ -95,14 +95,17 @@ def make_optimizer(lr: float, warmup_steps: int, train_steps: int, min_lr: float
                    weight_decay: float, *, clip_norm: Optional[float] = 1.0,
                    weight_decay_mask=None, b1: float = 0.9,
                    b2: float = 0.999,
-                   mu_dtype: Optional[str] = None
+                   mu_dtype: Optional[str] = "bfloat16"
                    ) -> optax.GradientTransformation:
     """AdamW + SequentialLR schedule + (optional) global-norm clip before the update.
 
     mu_dtype: dtype for the first-moment accumulator ("bfloat16" halves its HBM
     traffic in the update — the optimizer pass is bandwidth-bound; ~1 ms/step on
-    the flagship). Default None keeps torch-parity fp32. The second moment stays
-    fp32 (its dynamic range matters for eps-scale denominators)."""
+    the flagship). Default bfloat16 since round 3: loss-curve parity vs fp32
+    validated over 500 flagship steps (runs/titok-synthetic, fp32-mu vs bf16-mu
+    segments — tail-mean train/loss 0.394 vs 0.380, within run noise); pass
+    None/"float32" for torch-parity fp32 moments. The second moment stays fp32
+    (its dynamic range matters for eps-scale denominators)."""
     schedule = get_lr_schedule(lr, warmup_steps, train_steps, min_lr)
     chain = []
     if clip_norm is not None:
