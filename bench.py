@@ -125,12 +125,17 @@ def main():
         out["gap_to_3x"] = {
             "target_img_per_s": round(3 * REFERENCE_IMG_PER_S_ESTIMATE, 1),
             "speed_of_light_this_chip_img_per_s": round(sol, 1),
-            # ln_stats_extra_reads (4.5 ms) was CLOSED round 3 as a measured
-            # negative: fusing LN into the matmul read costs more in AD
-            # residual traffic than the stats pass saves (BENCHMARKS.md).
+            # Round-3 pool accounting (BENCHMARKS.md has the full ledger):
+            # ln_stats_extra_reads (4.5) CLOSED-negative (AD residual traffic
+            # beats the saved stats pass); adamw bf16 mu REALIZED (~1 ms, now
+            # default); dwconv boundary copies (8.2) CLOSED-neutral (hwnc
+            # layout removes them, XLA's HWNC conv emitter absorbs the gain).
+            # What remains above roofline is the grouped dwconv itself, which
+            # runs at 104-150 GB/s effective vs the ~550 GB/s fused-pattern
+            # envelope; two Pallas designs measured 3x slower (per-tap sublane
+            # relayouts) — recoverable only by a better conv schedule.
             "open_software_pools_ms_per_step": {
-                "adamw_bf16_moments_optin": 2.5,
-                "dwconv_layout": 7.0},
+                "dwconv_above_bandwidth_roofline": 15.0},
         }
     print(json.dumps(out))
 

@@ -43,6 +43,7 @@ class DWConv7(nn.Module):
     dim: int
     dtype: jnp.dtype = jnp.float32
     impl: str = "lax"
+    layout: str = "nhwc"  # "hwnc": x is (H, W, B, C), batch-innermost
 
     @nn.compact
     def __call__(self, x):
@@ -50,16 +51,47 @@ class DWConv7(nn.Module):
                             (7, 7, 1, self.dim), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (self.dim,), jnp.float32)
         if self.impl == "pallas":
+            assert self.layout == "nhwc", "pallas depthwise is NHWC-only"
             from vit_tpu.kernels.depthwise import depthwise_conv
 
             return depthwise_conv(x.astype(self.dtype),
                                   kernel[:, :, 0, :].astype(self.dtype),
                                   bias.astype(self.dtype), 7)
+        dn = _DIMNUMS[self.layout]
         out = jax.lax.conv_general_dilated(
             x.astype(self.dtype), kernel.astype(self.dtype), (1, 1),
-            [(3, 3), (3, 3)], dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            [(3, 3), (3, 3)], dimension_numbers=dn,
             feature_group_count=self.dim)
         return out + bias.astype(out.dtype)
+
+
+# Conv dimension_numbers per activation layout. "hwnc" is the TPU-preferred
+# batch-innermost layout: the profiled XLA conv fusions pick a {C-minor,
+# B-next} layout internally (C on lanes, B on sublanes — every kernel tap is
+# free-dim indexing, no register shifts), then pay a copy back to the default
+# {3,2,1,0} layout at each boundary with the layout-pinning Pallas block-tail
+# custom-calls (8.2 ms/step "data formatting" on the flagship, /tmp/r3stats).
+# Feeding the convs (H, W, B, C) activations makes the default layout BE the
+# conv-preferred one; every op between convs is rowwise on C and never cares
+# about row order.
+_DIMNUMS = {"nhwc": ("NHWC", "HWIO", "NHWC"),
+            "hwnc": ("HWNC", "HWIO", "HWNC")}
+
+
+class _ConvParams(nn.Module):
+    """Param holder matching nn.Conv's tree ({kernel, bias}) for explicit-layout
+    lax convs (kernel HWIO, identical init)."""
+
+    ksize: tuple
+    din: int
+    dout: int
+
+    @nn.compact
+    def __call__(self):
+        return (self.param("kernel", nn.initializers.lecun_normal(),
+                           (*self.ksize, self.din, self.dout), jnp.float32),
+                self.param("bias", nn.initializers.zeros, (self.dout,),
+                           jnp.float32))
 
 
 class _LNParams(nn.Module):
@@ -101,18 +133,23 @@ class ConvNeXtBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
     dw_impl: str = "lax"
     mlp_impl: str = "auto"
+    layout: str = "nhwc"
 
     @nn.compact
     def __call__(self, x):
         h = DWConv7(self.dim, dtype=self.dtype, impl=self.dw_impl,
-                    name="dwconv")(x)
+                    layout=self.layout, name="dwconv")(x)
         from vit_tpu.kernels.convnext_block import (
             frozen_convnext_block_tail, fused_supported)
 
         use_fused = (self.mlp_impl == "fused"
                      or (self.mlp_impl == "auto"
                          and jax.default_backend() == "tpu"))
-        b, hh, ww, c = h.shape
+        # Everything below the dwconv is rowwise on C: a (rows, C) flatten is
+        # valid in either activation layout (row order is irrelevant as long as
+        # h, the residual x, and the output reshape agree).
+        shape = h.shape
+        c = shape[-1]
         if use_fused and fused_supported(c, 4 * c):
             lns, lnb = _LNParams(c, name="norm")()
             w1, b1 = _DenseParams(c, 4 * c, name="pwconv1")()
@@ -120,10 +157,10 @@ class ConvNeXtBlock(nn.Module):
             gamma = self.param("gamma", nn.initializers.constant(1e-6),
                                (self.dim,), jnp.float32)
             y = frozen_convnext_block_tail(
-                h.reshape(b * hh * ww, c),
-                x.astype(h.dtype).reshape(b * hh * ww, c),
+                h.reshape(-1, c),
+                x.astype(h.dtype).reshape(-1, c),
                 lns, lnb, w1, b1, w2, b2, gamma, eps=1e-6)
-            return y.reshape(b, hh, ww, c)
+            return y.reshape(shape)
         # LN output in compute dtype (flax upcasts half dtypes to fp32 for the
         # statistics) — fp32 LN outputs doubled HBM traffic on this
         # bandwidth-bound net for no accuracy benefit.
@@ -131,12 +168,12 @@ class ConvNeXtBlock(nn.Module):
         # conv's spatial layout otherwise propagates into the pointwise matmuls
         # and fragments their M dimension (profiled at ~34 TF/s vs ~150 on the
         # transformer's matmuls); the flatten puts a layout boundary there.
-        h = h.reshape(b * hh * ww, c)
+        h = h.reshape(-1, c)
         h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(h)
         h = nn.Dense(4 * self.dim, dtype=self.dtype, name="pwconv1")(h)
         h = nn.gelu(h, approximate=False)
         h = nn.Dense(self.dim, dtype=self.dtype, name="pwconv2")(h)
-        h = h.reshape(b, hh, ww, c)
+        h = h.reshape(shape)
         gamma = self.param("gamma", nn.initializers.constant(1e-6), (self.dim,),
                            jnp.float32)
         return x + gamma.astype(h.dtype) * h
@@ -151,24 +188,33 @@ class ConvNeXt(nn.Module):
     dtype: jnp.dtype = jnp.float32
     dw_impl: str = "lax"
     mlp_impl: str = "auto"
+    layout: str = "nhwc"  # "hwnc": input is (H, W, B, C), batch-innermost
+
+    def _conv(self, x, ksize, din, dout, name):
+        """Strided conv with nn.Conv's exact param tree, explicit layout."""
+        kernel, bias = _ConvParams(ksize, din, dout, name=name)()
+        out = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), kernel.astype(self.dtype), ksize, "VALID",
+            dimension_numbers=_DIMNUMS[self.layout])
+        return out + bias.astype(out.dtype)
 
     @nn.compact
     def __call__(self, x):
         # stem: 4×4 stride-4 conv + LN (channels-last here)
-        x = nn.Conv(self.dims[0], (4, 4), strides=(4, 4), dtype=self.dtype,
-                    name="stem_conv")(x)
+        x = self._conv(x, (4, 4), x.shape[-1], self.dims[0], "stem_conv")
         x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="stem_norm")(x)
         for stage, (depth, dim) in enumerate(zip(self.depths, self.dims)):
             if stage > 0:
                 x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
                                  name=f"downsample_norm_{stage}")(x)
-                x = nn.Conv(dim, (2, 2), strides=(2, 2), dtype=self.dtype,
-                            name=f"downsample_conv_{stage}")(x)
+                x = self._conv(x, (2, 2), self.dims[stage - 1], dim,
+                               f"downsample_conv_{stage}")
             for block in range(depth):
                 x = ConvNeXtBlock(dim, dtype=self.dtype, dw_impl=self.dw_impl,
-                                  mlp_impl=self.mlp_impl,
+                                  mlp_impl=self.mlp_impl, layout=self.layout,
                                   name=f"stage{stage}_block{block}")(x)
-        x = jnp.mean(x, axis=(1, 2))  # global average pool
+        # global average pool over the spatial axes of the active layout
+        x = jnp.mean(x, axis=(1, 2) if self.layout == "nhwc" else (0, 1))
         x = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="head_norm")(x)
         return nn.Dense(self.num_classes, dtype=jnp.float32, name="head")(x)
 
@@ -177,14 +223,30 @@ class PerceptualLoss:
     """Frozen ConvNeXt-S logit-matching loss (reference perceptual_loss.py:56-70)."""
 
     def __init__(self, params=None, *, dtype=jnp.float32, dw_impl="lax",
-                 mlp_impl="auto"):
+                 mlp_impl="auto", layout="auto"):
         # dw_impl: "lax" (default) or "pallas". The Pallas depthwise now has a
         # fully fused backward (kernels/depthwise.py) but measured SLOWER
         # in-context on this chip (flagship profile r2: 69.9 ms/step pallas
-        # fwd+bwd vs ~35 ms lax) — the 49-tap MAC loop is VPU-bound while XLA's
-        # grouped conv schedules better here. Kept switchable for revisit on
-        # full-bandwidth parts.
-        self.model = ConvNeXt(dtype=dtype, dw_impl=dw_impl, mlp_impl=mlp_impl)
+        # fwd+bwd vs ~35 ms lax; re-measured round 3 standalone: 74.6 vs 23.4
+        # ms, scripts/bench_dwconv.py) — the 49-tap MAC loop pays a sublane
+        # relayout per tap while XLA's conv picks a batch-on-sublanes layout
+        # with free-dim taps. Kept switchable for revisit.
+        # layout: "hwnc" runs the net batch-innermost ((H, W, B, C), conv
+        # dimension_numbers HWNC) so the default layout matches the physical
+        # order XLA's NHWC convs pick internally ({3,0,2,1}: C on lanes, B on
+        # sublanes). MEASURED NEUTRAL on the flagship (round 3): it does
+        # eliminate the 8.2 ms/step of boundary copies against the
+        # layout-pinning block-tail custom-calls (data formatting 8.22 → 0.50
+        # ms, xprof), but XLA's HWNC conv emitter is correspondingly slower
+        # (convolution-fusion self-time +8.25 ms) — net 261.7 vs 262.2 img/s.
+        # "auto" therefore stays NHWC everywhere; hwnc is kept exact-parity-
+        # tested (tests/test_perceptual_hwnc.py) for conv emitters where the
+        # trade differs.
+        if layout == "auto":
+            layout = "nhwc"
+        self.layout = layout
+        self.model = ConvNeXt(dtype=dtype, dw_impl=dw_impl, mlp_impl=mlp_impl,
+                              layout=layout)
         self.params = params
 
     @staticmethod
@@ -221,7 +283,14 @@ class PerceptualLoss:
             # perceptual_loss.py:61-62) but stays on the MXU. In a half-precision
             # net the resize runs in that dtype too (halves 224² HBM traffic).
             dt = self.model.dtype
-            img = resize_bilinear_antialias(img.astype(dt), 224, 224)
+            # out_layout=hwnc: the resize's final einsum writes the
+            # batch-innermost layout directly — the transpose is free.
+            # (getattr: tests construct PerceptualLoss via __new__ with a
+            # hand-built model; default to the model's layout.)
+            layout = getattr(self, "layout",
+                             getattr(self.model, "layout", "nhwc"))
+            img = resize_bilinear_antialias(img.astype(dt), 224, 224,
+                                            out_layout=layout)
             mean = jnp.asarray(IMAGENET_MEAN, dt)
             std = jnp.asarray(IMAGENET_STD, dt)
             return (img - mean) / std

@@ -35,15 +35,20 @@ def _resize_matrix(in_size: int, out_size: int) -> np.ndarray:
     return mat
 
 
-def resize_bilinear_antialias(img: jnp.ndarray, out_h: int, out_w: int
-                              ) -> jnp.ndarray:
+def resize_bilinear_antialias(img: jnp.ndarray, out_h: int, out_w: int,
+                              out_layout: str = "nhwc") -> jnp.ndarray:
     """img: (B, H, W, C) → (B, out_h, out_w, C); runs in the input dtype
-    (fp32 in, fp32 out; a bf16 input keeps the whole resize in bf16)."""
+    (fp32 in, fp32 out; a bf16 input keeps the whole resize in bf16).
+
+    out_layout="hwnc" emits (out_h, out_w, B, C) instead — the batch-innermost
+    layout the TPU ConvNeXt path wants (losses/perceptual.py) — for free: the
+    final einsum writes its output in that order as part of the contraction."""
     b, h, w, c = img.shape
     dt = img.dtype if img.dtype in (jnp.float32, jnp.bfloat16) else jnp.float32
     a = jnp.asarray(_resize_matrix(h, out_h), dt)      # (out_h, H)
     bmat = jnp.asarray(_resize_matrix(w, out_w), dt)   # (out_w, W)
     x = img.astype(dt)
     x = jnp.einsum("oh,bhwc->bowc", a, x)              # rows
-    x = jnp.einsum("ow,bhwc->bhoc", bmat, x)           # cols (w axis)
+    spec = {"nhwc": "ow,bhwc->bhoc", "hwnc": "ow,bhwc->hobc"}[out_layout]
+    x = jnp.einsum(spec, bmat, x)                      # cols (w axis)
     return x
