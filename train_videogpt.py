@@ -211,16 +211,23 @@ def main():
     # (see vit_tpu/train/loop.py)
     ckpt_every = getattr(args, "ckpt_every", None) or 250
     last_ckpt_step = None
+    # host-side crop + normalize + async device transfer, issued one batch
+    # ahead so the DMA overlaps the previous step (vit_tpu/data/prefetch.py)
+    from vit_tpu.data.prefetch import device_prefetch
+
+    def _prepare(batch):
+        videos = np.asarray(batch[0])
+        # random temporal crop (reference train_videogpt.py:120-121)
+        offset = int(host_rng.integers(
+            0, max(videos.shape[1] - args.max_frames, 1)))
+        clip = np.asarray(videos[:, offset:offset + args.max_frames],
+                          np.float32) / 255.0
+        return runner.put_batch(clip) if runner is not None \
+            else jnp.asarray(clip)
+
     for epoch in range(args.epochs):
         st = time.time()
-        for videos, _ in train_loader:
-            videos = np.asarray(videos)
-            # random temporal crop (reference train_videogpt.py:120-121)
-            offset = int(host_rng.integers(0, max(videos.shape[1] - args.max_frames, 1)))
-            clip = videos[:, offset:offset + args.max_frames]
-            clip = np.asarray(clip, np.float32) / 255.0
-            clip = runner.put_batch(clip) if runner is not None \
-                else jnp.asarray(clip)
+        for clip in device_prefetch(train_loader, _prepare):
             load_time = time.time() - st
             is_log = steps % args.log_every == 0
             rebased = is_log and prev_loss is not None
@@ -232,13 +239,17 @@ def main():
             state, tokens, metrics = train_step(state, titok_params, clip)
             prev_loss = metrics["train/loss"]
             if is_log:
-                loss = float(jax.device_get(metrics["train/loss"]))
+                # one device_get round-trip for all logged scalars (see
+                # vit_tpu/train/loop.py)
+                loss_v, step_now = jax.device_get(
+                    (metrics["train/loss"], state.step))
+                loss = float(loss_v)
                 step_time = time.time() - st - (0.0 if rebased else load_time)
                 logger.log({"train/loss": loss, "train/epoch": epoch,
                             "train/steps": steps,
                             "benchmark/load_time": load_time,
                             "benchmark/step_time": step_time},
-                           step=int(state.step))
+                           step=int(step_now))
                 print(f"e={epoch} s={steps} loss={loss:.3f} "
                       f"step_time={step_time:.3f}")
                 if (last_ckpt_step is None

@@ -177,16 +177,19 @@ def main():
           f"val_len={getattr(valid_loader, '__len__', lambda: '?')()}")
     print(f"PARAMS: {vit_config}")
 
+    # issue batch N+1's host->device transfer before batch N is consumed so
+    # the DMA overlaps the previous step's compute (vit_tpu/data/prefetch.py)
+    from vit_tpu.data.prefetch import device_prefetch
+
+    put = (runner.put_batch if runner is not None else jnp.asarray)
     best_acc = 0.0
     for epoch in range(args.epochs):
         st = time.time()
         window_metrics = []
         prev_loss = None
-        for i, (images, labels) in enumerate(train_loader):
+        for i, (images, labels) in enumerate(device_prefetch(
+                train_loader, lambda b: (put(b[0]), put(b[1])))):
             load_time = time.time() - st
-            if runner is not None:
-                images = runner.put_batch(images)
-                labels = runner.put_batch(labels)
             is_log = i % args.log_every == 0
             rebased = is_log and prev_loss is not None
             if rebased:
@@ -194,15 +197,17 @@ def main():
                 # step, not up to log_every queued ones (see train/loop.py)
                 float(jax.device_get(prev_loss))
                 st = time.time()
-            state, metrics = train_step(state, jnp.asarray(images),
-                                        jnp.asarray(labels), rng)
+            state, metrics = train_step(state, images, labels, rng)
             prev_loss = metrics["train/loss"]
             window_metrics.append(metrics)
             if is_log:
-                loss = float(jax.device_get(metrics["train/loss"]))
+                # one device_get round-trip for all logged scalars (see
+                # vit_tpu/train/loop.py)
+                m = jax.device_get(metrics)
+                loss = float(m["train/loss"])
                 step_time = time.time() - st - (0.0 if rebased else load_time)
                 logger.log({"train/loss": loss,
-                            "train/acc": float(jax.device_get(metrics["train/acc"])),
+                            "train/acc": float(m["train/acc"]),
                             "train/epoch": epoch,
                             "benchmark/load_time": load_time,
                             "benchmark/step_time": step_time},
@@ -218,8 +223,9 @@ def main():
                 images = runner.put_batch(images)
                 labels = runner.put_batch(labels)
             m = eval_step(state.params, jnp.asarray(images), jnp.asarray(labels))
-            val_loss += float(jax.device_get(m["valid/loss"]))
-            acc += float(jax.device_get(m["valid/acc"]))
+            m = jax.device_get(m)
+            val_loss += float(m["valid/loss"])
+            acc += float(m["valid/acc"])
             n += 1
         val_loss /= max(n, 1)
         acc /= max(n, 1)

@@ -107,14 +107,20 @@ def run_tokenizer_training(args, model, model_config, train_loader, *,
     is_proc0 = jax.process_index() == 0
     global_i = 0
     prev_loss = None
+    # Device prefetch: issue batch N+1's host->device transfer before batch N
+    # is consumed so the DMA overlaps the previous step's compute (the
+    # transfer is the step-time gap vs bench.py's on-device data on hosts
+    # with a slow device link — see vit_tpu/data/prefetch.py).
+    from vit_tpu.data.prefetch import device_prefetch
+
+    put = (runner.put_batch if runner is not None else jnp.asarray)
     for epoch in range(args.epochs):
         st = time.time()
-        for i, (images, _) in enumerate(train_loader):
+        for i, (images, _) in enumerate(
+                device_prefetch(train_loader, lambda b: (put(b[0]), b[1]))):
             if profile_dir and global_i == 10:
                 jax.profiler.start_trace(profile_dir)
             load_time = time.time() - st
-            images = (runner.put_batch(images) if runner is not None
-                      else jnp.asarray(images))
             is_log = i % args.log_every == 0
             rebased = is_log and prev_loss is not None
             if rebased:
@@ -132,8 +138,15 @@ def run_tokenizer_training(args, model, model_config, train_loader, *,
                 print(f"PROFILE: trace for steps 10-15 written to {profile_dir}")
             global_i += 1
             if is_log:
-                # metrics are replicated → device_get is multi-host-safe
-                host = {k: float(jax.device_get(v)) for k, v in metrics.items()}
+                # metrics are replicated → device_get is multi-host-safe.
+                # ONE device_get for the whole tree: per-scalar fetches are
+                # each a host<->device round-trip (~tens of ms through a
+                # tunnel), and they land inside the step_time window
+                # (measured: ~0.2 s of the flagship's 0.43 s "step_time" was
+                # 8 sequential scalar fetches; bench.py's 0.245 s is the true
+                # step).
+                fetched, step_now = jax.device_get((metrics, state.step))
+                host = {k: float(v) for k, v in fetched.items()}
                 step_time = time.time() - st - (0.0 if rebased else load_time)
                 # after device_get: the fetch is the only reliable completion
                 # barrier on this platform
@@ -141,7 +154,7 @@ def run_tokenizer_training(args, model, model_config, train_loader, *,
                              "benchmark/load_time": load_time,
                              "benchmark/step_time": step_time})
                 if is_proc0:
-                    logger.log(host, step=int(jax.device_get(state.step)))
+                    logger.log(host, step=int(step_now))
                     print(f"e={epoch} i={i} loss={host['train/loss']:.3f} "
                           f"recon={host['train/recon_loss']:.3f} "
                           f"quant={host['train/quant_loss']:.3f} "
