@@ -214,6 +214,9 @@ def main():
     # host-side crop + normalize + async device transfer, issued one batch
     # ahead so the DMA overlaps the previous step (vit_tpu/data/prefetch.py)
     from vit_tpu.data.prefetch import device_prefetch
+    from vit_tpu.train.preempt import GracefulShutdown
+
+    shutdown = GracefulShutdown.install()
 
     def _prepare(batch):
         videos = np.asarray(batch[0])
@@ -274,7 +277,19 @@ def main():
                                   step=int(state.step))
             steps += 1
             st = time.time()
+            if shutdown.requested:
+                # SIGTERM (preemption grace window): persist the exact step
+                # and exit cleanly so --resume continues from here.
+                print(f"PREEMPTED: saving 'last' at step "
+                      f"{int(jax.device_get(state.step))} and exiting")
+                ckpt.save(state, config=videogpt_config, tag="last")
+                ckpt.finalize()
+                logger.close()
+                return
 
+    # rolling "last" so --resume has the final state even when the best-loss
+    # checkpoint is older
+    ckpt.save(state, config=videogpt_config, tag="last")
     ckpt.finalize()
     logger.close()
 

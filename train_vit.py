@@ -180,7 +180,9 @@ def main():
     # issue batch N+1's host->device transfer before batch N is consumed so
     # the DMA overlaps the previous step's compute (vit_tpu/data/prefetch.py)
     from vit_tpu.data.prefetch import device_prefetch
+    from vit_tpu.train.preempt import GracefulShutdown
 
+    shutdown = GracefulShutdown.install()
     put = (runner.put_batch if runner is not None else jnp.asarray)
     best_acc = 0.0
     for epoch in range(args.epochs):
@@ -215,6 +217,15 @@ def main():
                 print(f"e={epoch} i={i} loss={loss:.3f} "
                       f"load_time={load_time:.3f} step_time={step_time:.3f}")
             st = time.time()
+            if shutdown.requested:
+                # SIGTERM (preemption grace window): persist the exact step
+                # and exit cleanly so --resume continues from here.
+                print(f"PREEMPTED: saving 'last' at step "
+                      f"{int(jax.device_get(state.step))} and exiting")
+                ckpt.save(state, config=vit_config, tag="last")
+                ckpt.finalize()
+                logger.close()
+                return
 
         # per-epoch validation (reference train_vit.py:114-125)
         val_loss, acc, n = 0.0, 0.0, 0
@@ -235,6 +246,9 @@ def main():
             best_acc = acc
             ckpt.save_if_best(state, acc, config=vit_config)
 
+    # rolling "last" so --resume (which restores tag="last") has a target even
+    # when the best-acc checkpoint is older
+    ckpt.save(state, config=vit_config, tag="last")
     ckpt.finalize()
     logger.close()
 

@@ -112,6 +112,9 @@ def run_tokenizer_training(args, model, model_config, train_loader, *,
     # transfer is the step-time gap vs bench.py's on-device data on hosts
     # with a slow device link — see vit_tpu/data/prefetch.py).
     from vit_tpu.data.prefetch import device_prefetch
+    from vit_tpu.train.preempt import GracefulShutdown
+
+    shutdown = GracefulShutdown.install()
 
     put = (runner.put_batch if runner is not None else jnp.asarray)
     for epoch in range(args.epochs):
@@ -190,6 +193,15 @@ def run_tokenizer_training(args, model, model_config, train_loader, *,
                                step=int(jax.device_get(state.step)))
                 usage = usage * 0.0
             st = time.time()
+            if shutdown.requested:
+                # SIGTERM (preemption grace window): persist the exact step
+                # and exit cleanly so --resume continues from here.
+                print(f"PREEMPTED: saving 'last' at step "
+                      f"{int(jax.device_get(state.step))} and exiting")
+                ckpt.save(state, config=model_config, tag="last")
+                ckpt.finalize()
+                logger.close()
+                return state
 
     # final state is always recoverable regardless of where the interval fell
     ckpt.save(state, config=model_config, tag="last")
