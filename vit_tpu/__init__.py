@@ -64,6 +64,9 @@ _EXPORTS = {
     # parallel
     "make_mesh": "vit_tpu.parallel.mesh",
     "init_distributed": "vit_tpu.parallel.mesh",
+    # serving
+    "export_tokenizer": "vit_tpu.serve.export",
+    "load_exported": "vit_tpu.serve.export",
 }
 
 
