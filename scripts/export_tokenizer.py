@@ -1,9 +1,17 @@
-"""Export a trained tokenizer checkpoint for serving (see vit_tpu/serve/export.py).
+"""Export a trained checkpoint for serving (see vit_tpu/serve/export.py).
 
+Tokenizers (encode/decode artifacts):
   python scripts/export_tokenizer.py --ckpt ckpt/titok-flagship-live \
       --out exported/titok --bs 8
   python scripts/export_tokenizer.py --ckpt ... --out ... \
       --platforms tpu --attn_impl pallas   # TPU-only, fused attention
+
+Classifier (predict artifact) / AR prior (generate artifact):
+  python scripts/export_tokenizer.py --model vit_classifier --ckpt ... --out ...
+  python scripts/export_tokenizer.py --model videogpt --ckpt ... --out ... \
+      --cond_frames 8 --gen_frames 8
+
+Serve the result:  python -m vit_tpu.serve.server --dir exported/titok
 """
 
 from __future__ import annotations
@@ -14,23 +22,38 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+TOKENIZERS = ["titok", "vit_vqgan", "enhancing", "tatitok", "llamagen_titok"]
+
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--ckpt", required=True)
     ap.add_argument("--out", required=True)
-    ap.add_argument("--model", default="titok", choices=["titok", "vit_vqgan"])
+    ap.add_argument("--model", default="titok",
+                    choices=TOKENIZERS + ["vit_classifier", "videogpt"])
     ap.add_argument("--bs", type=int, default=1)
     ap.add_argument("--tag", default="best")
     ap.add_argument("--platforms", nargs="+", default=["cpu", "tpu"])
     ap.add_argument("--attn_impl", default="xla", choices=["xla", "pallas"])
+    ap.add_argument("--cond_frames", type=int, default=8,
+                    help="videogpt only: conditioning frames")
+    ap.add_argument("--gen_frames", type=int, default=8,
+                    help="videogpt only: frames to generate")
     args = ap.parse_args()
 
-    from vit_tpu.serve.export import export_tokenizer
+    from vit_tpu.serve.export import (export_classifier, export_tokenizer,
+                                      export_videogpt)
 
-    out = export_tokenizer(args.ckpt, args.out, model=args.model, bs=args.bs,
-                           tag=args.tag, platforms=tuple(args.platforms),
-                           attn_impl=args.attn_impl)
+    common = dict(bs=args.bs, tag=args.tag, platforms=tuple(args.platforms),
+                  attn_impl=args.attn_impl)
+    if args.model in TOKENIZERS:
+        out = export_tokenizer(args.ckpt, args.out, model=args.model, **common)
+    elif args.model == "vit_classifier":
+        out = export_classifier(args.ckpt, args.out, **common)
+    else:
+        out = export_videogpt(args.ckpt, args.out,
+                              cond_frames=args.cond_frames,
+                              gen_frames=args.gen_frames, **common)
     for p in sorted(out.iterdir()):
         print(f"{p}  ({p.stat().st_size} bytes)")
 

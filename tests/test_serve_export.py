@@ -50,3 +50,187 @@ def test_export_roundtrip_matches_live_model(tmp_path):
     # agree only to bf16 precision (indices above must still match exactly)
     np.testing.assert_allclose(np.asarray(live_img), np.asarray(srv_img),
                                rtol=0.05, atol=0.03)
+
+
+def test_export_classifier_infers_num_classes(tmp_path):
+    from vit_tpu.models.vit import ViTClassifier, ViTConfig
+    from vit_tpu.serve.export import export_classifier
+
+    cfg = ViTConfig(image_size=32, in_channels=3, patch_size=8,
+                    transformer="S", extra_tokens=1, dropout=0.0,
+                    attn_impl="xla")
+    model = ViTClassifier(cfg, num_classes=7)
+    images = jax.random.uniform(jax.random.PRNGKey(0), (2, 32, 32, 3),
+                                jnp.float32)
+    params = model.init(jax.random.PRNGKey(1), images[:1])["params"]
+
+    ckpt_dir = tmp_path / "ckpt"
+    ckpt = Checkpointer(str(ckpt_dir), mode="max")
+    state = TrainState.create(params, make_optimizer(1e-4, 1, 10, 1e-5, 0.0))
+    ckpt.save_if_best(state, 0.5, config=cfg)
+    ckpt.finalize()
+
+    # num_classes deliberately NOT passed: read off the head kernel metadata
+    out = export_classifier(str(ckpt_dir), str(tmp_path / "export"), bs=2,
+                            platforms=("cpu",))
+    served = load_exported(out)
+    assert served["manifest"]["num_classes"] == 7
+    assert served["manifest"]["functions"] == ["predict"]
+
+    live = model.apply({"params": params}, images, deterministic=True)
+    np.testing.assert_allclose(np.asarray(live),
+                               np.asarray(served["predict"](images)),
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_http_server_roundtrip(tmp_path):
+    """Export → make_server → npy-over-HTTP matches the live model, including
+    the pad-to-exported-bs path for small batches."""
+    import io
+    import threading
+    import urllib.request
+
+    from vit_tpu.serve.server import make_server
+
+    cfg = _tiny_cfg()
+    model = TiTok(cfg)
+    images = jax.random.uniform(jax.random.PRNGKey(0), (2, 32, 32, 3),
+                                jnp.float32)
+    params = model.init(jax.random.PRNGKey(1), images[:1])["params"]
+    ckpt_dir = tmp_path / "ckpt"
+    ckpt = Checkpointer(str(ckpt_dir), mode="min")
+    ckpt.save_if_best(TrainState.create(
+        params, make_optimizer(1e-4, 1, 10, 1e-5, 0.0)), 1.0, config=cfg)
+    ckpt.finalize()
+    out = export_tokenizer(str(ckpt_dir), str(tmp_path / "export"), bs=2,
+                           platforms=("cpu",))
+
+    srv = make_server(str(out), port=0)  # port 0: OS-assigned free port
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        def post(path, arr):
+            buf = io.BytesIO()
+            np.save(buf, arr)
+            req = urllib.request.Request(url + path, data=buf.getvalue(),
+                                         method="POST")
+            with urllib.request.urlopen(req) as resp:
+                return np.load(io.BytesIO(resp.read()))
+
+        with urllib.request.urlopen(url + "/manifest") as resp:
+            import json
+
+            assert json.load(resp)["n_tokens"] == 8
+
+        live_idx = np.asarray(
+            model.apply({"params": params}, images, method=model.encode))
+        np.testing.assert_array_equal(post("/encode", np.asarray(images)),
+                                      live_idx)
+        # single example against a bs=2 artifact: server pads and re-slices
+        np.testing.assert_array_equal(post("/encode", np.asarray(images[:1])),
+                                      live_idx[:1])
+        assert post("/decode", live_idx).shape == (2, 32, 32, 3)
+
+        # oversized batch is a clean 400, not a silent truncation
+        import urllib.error
+
+        try:
+            post("/encode", np.zeros((3, 32, 32, 3), np.float32))
+            assert False, "expected HTTP 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        srv.shutdown()
+
+
+def _save_ckpt(tmp_path, params, cfg, mode="min"):
+    ckpt_dir = tmp_path / "ckpt"
+    ckpt = Checkpointer(str(ckpt_dir), mode=mode)
+    ckpt.save_if_best(TrainState.create(
+        params, make_optimizer(1e-4, 1, 10, 1e-5, 0.0)), 1.0, config=cfg)
+    ckpt.finalize()
+    return str(ckpt_dir)
+
+
+def test_export_all_tokenizer_families(tmp_path):
+    """enhancing / tatitok / llamagen_titok round-trip: exported encode
+    indices match the live model exactly; decode executes with the manifest's
+    declared shapes."""
+    from vit_tpu.models.enhancing_vqgan import (EnhancingViTVQGAN,
+                                                EnhancingVQGANConfig)
+    from vit_tpu.models.llamagen_titok import (LlamaGenTiTok,
+                                               LlamaGenTiTokConfig)
+    from vit_tpu.models.tatitok import TATiTok, TATiTokConfig
+
+    cases = [
+        ("enhancing",
+         EnhancingViTVQGAN(EnhancingVQGANConfig(
+             image_size=32, patch_size=8, codebook_size=64, latent_dim=4,
+             dim=32, depth=1, heads=2, dim_head=16, mlp_dim=64,
+             attn_impl="xla")),
+         jax.random.uniform(jax.random.PRNGKey(0), (2, 32, 32, 3))),
+        ("tatitok",
+         TATiTok(TATiTokConfig(image_size=32, patch_size=8, latent_tokens=8,
+                               codebook_size=64, latent_dim=4,
+                               transformer="small", attn_impl="xla")),
+         jax.random.uniform(jax.random.PRNGKey(0), (2, 32, 32, 3))),
+        # fp32: under bf16, tiny-random codebooks produce cosine near-ties
+        # that the export-compiled and live-jit executables (different XLA
+        # fusion orders) break differently — observed 1/16 index flips with
+        # top-2 score gap ~3e-3, right at bf16 latent resolution
+        ("llamagen_titok",
+         LlamaGenTiTok(LlamaGenTiTokConfig(
+             vq_codebook_size=32, vq_latent_tokens=16, latent_tokens=8,
+             codebook_size=64, latent_dim=4, transformer="S",
+             dtype=jnp.float32, attn_impl="xla")),
+         jax.random.randint(jax.random.PRNGKey(0), (2, 16), 0, 32)),
+    ]
+    # enhancing is per-patch: n_tokens = n_patches = (32/8)^2
+    n_tokens = {"enhancing": 16, "tatitok": 8, "llamagen_titok": 8}
+    for name, model, x in cases:
+        params = model.init(jax.random.PRNGKey(1), x[:1])["params"]
+        ckpt_dir = _save_ckpt(tmp_path / name, params, model.config)
+        out = export_tokenizer(ckpt_dir, str(tmp_path / name / "export"),
+                               model=name, bs=2, platforms=("cpu",))
+        served = load_exported(out)
+        assert served["manifest"]["model"] == name
+        assert served["manifest"]["n_tokens"] == n_tokens[name]
+
+        if name == "tatitok":
+            live_idx = model.apply({"params": params}, x,
+                                   method=model.encode)[1][
+                                       "min_encoding_indices"]
+        else:
+            live_idx = model.apply({"params": params}, x, method=model.encode)
+        np.testing.assert_array_equal(np.asarray(live_idx),
+                                      np.asarray(served["encode"](x)),
+                                      err_msg=name)
+        decoded = served["decode"](np.asarray(live_idx))
+        if name == "llamagen_titok":
+            assert decoded.shape == (2, 16, 32)  # logits over the VQ codebook
+        else:
+            assert decoded.shape == (2, 32, 32, 3)
+
+
+def test_export_videogpt_rollout(tmp_path):
+    from vit_tpu.models.videogpt import VideoGPT, VideoGPTConfig, generate
+    from vit_tpu.serve.export import export_videogpt
+
+    cfg = VideoGPTConfig(frame_size=4, codebook_size=16, transformer="S",
+                         max_frames=4, attn_impl="xla")
+    model = VideoGPT(cfg)
+    tokens = jax.random.randint(jax.random.PRNGKey(0), (2, 8), 0, 16)
+    # the model's __call__ takes (B, T, N) frame tokens; generate takes (B, L)
+    params = model.init(jax.random.PRNGKey(1),
+                        tokens[:1].reshape(1, 2, 4))["params"]
+    ckpt_dir = _save_ckpt(tmp_path, params, cfg)
+
+    out = export_videogpt(ckpt_dir, str(tmp_path / "export"), cond_frames=2,
+                          gen_frames=2, bs=2, platforms=("cpu",))
+    served = load_exported(out)
+    assert served["manifest"]["functions"] == ["generate"]
+    assert served["manifest"]["input_shape"] == [2, 8]
+
+    live = generate(model, params, tokens, 8)         # (2, 16) greedy rollout
+    np.testing.assert_array_equal(np.asarray(live),
+                                  np.asarray(served["generate"](tokens)))

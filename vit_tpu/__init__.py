@@ -66,7 +66,10 @@ _EXPORTS = {
     "init_distributed": "vit_tpu.parallel.mesh",
     # serving
     "export_tokenizer": "vit_tpu.serve.export",
+    "export_classifier": "vit_tpu.serve.export",
+    "export_videogpt": "vit_tpu.serve.export",
     "load_exported": "vit_tpu.serve.export",
+    "make_server": "vit_tpu.serve.server",
 }
 
 

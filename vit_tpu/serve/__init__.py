@@ -1,2 +1,2 @@
-from vit_tpu.serve.export import (export_tokenizer, load_exported,  # noqa: F401
-                                  export_fn)
+from vit_tpu.serve.export import (export_tokenizer, export_classifier,  # noqa: F401
+                                  export_videogpt, load_exported, export_fn)

@@ -1,17 +1,24 @@
-"""Serving export: freeze a trained tokenizer into portable serialized
+"""Serving export: freeze a trained model into portable serialized
 executables (StableHLO via ``jax.export``).
 
 The reference has no deployment story — its checkpoints are torch
 ``state_dict`` blobs that require the full training code to run. Here a
-trained tokenizer checkpoint (train_titok.py / Checkpointer layout) exports to
-two self-contained artifacts:
+trained checkpoint (train_titok.py / train_vit.py / Checkpointer layout)
+exports to self-contained artifacts:
 
-  encode.jaxexport   images  (B, H, W, 3) f32 → code indices (B, N) i32
-  decode.jaxexport   indices (B, N) i32      → images (B, H, W, 3) f32
+  tokenizers (``export_tokenizer``; titok / vit_vqgan / enhancing / tatitok /
+  llamagen_titok — the last consumes VQ code ids instead of images):
+    encode.jaxexport   images  (B, H, W, 3) f32 → code indices (B, N) i32
+    decode.jaxexport   indices (B, N) i32      → images (B, H, W, 3) f32
+  classifiers (``export_classifier``):
+    predict.jaxexport  images  (B, H, W, 3) f32 → logits (B, num_classes) f32
+  AR priors (``export_videogpt``):
+    generate.jaxexport conditioning code ids (B, C) i32 → rollout (B, C+N) i32
 
 plus a ``manifest.json`` recording shapes, codebook size, and the lowering
 platforms. A server deserializes them with ``load_exported`` and calls them —
-no model code, no flax, no checkpoint restore on the serving path.
+no model code, no flax, no checkpoint restore on the serving path
+(``vit_tpu.serve.server`` is a ready-made HTTP front end).
 
 Weights are exported as ARGUMENTS (saved to ``weights.npz`` beside the
 executables), not baked into the module as constants: serializing a
@@ -43,100 +50,245 @@ def export_fn(fn, args_spec, platforms=("cpu", "tpu")):
     return jex.export(jax.jit(fn), platforms=list(platforms))(*args_spec)
 
 
-def export_tokenizer(ckpt_dir: str, out_dir: str, *, model: str = "titok",
-                     bs: int = 1, tag: str = "best",
-                     platforms=("cpu", "tpu"), attn_impl: str = "xla"):
-    """Export a trained tokenizer checkpoint's encode/decode to ``out_dir``."""
+def _load_config(ckpt_dir: str, tag: str) -> dict:
+    return json.loads((Path(ckpt_dir) / f"{tag}_config.json").read_text())
+
+
+def _restore_params(ckpt_dir: str, tag: str, init_fn, init_args):
+    """Restore a checkpoint's params against an abstract template.
+
+    orbax restores against ShapeDtypeStructs, so the model is never
+    initialized or compiled here (flagship init alone is a multi-minute CPU
+    compile). The sharding on the template is the concrete local device: the
+    checkpoint may have been written on different hardware (e.g. trained on
+    TPU, exported on a CPU host) and orbax refuses a sharding-less
+    cross-topology restore.
+    """
     from vit_tpu.train.checkpoint import Checkpointer
     from vit_tpu.train.optim import make_optimizer
     from vit_tpu.train.state import TrainState
-    from vit_tpu.utils.config import dataclass_from_dict
 
-    cfg_dict = json.loads((Path(ckpt_dir) / f"{tag}_config.json").read_text())
-    if model == "titok":
-        from vit_tpu.models.titok import TiTok, TiTokConfig
-
-        cfg = dataclass_from_dict(TiTokConfig, cfg_dict)
-        cfg.attn_impl = attn_impl
-        cfg.__post_init__()
-        net = TiTok(cfg)
-        n_tokens = cfg.latent_tokens
-    elif model == "vit_vqgan":
-        from vit_tpu.models.vit_vqgan import ViTVQGAN, ViTVQGANConfig
-
-        cfg = dataclass_from_dict(ViTVQGANConfig, cfg_dict)
-        cfg.attn_impl = attn_impl
-        cfg.__post_init__()
-        net = ViTVQGAN(cfg)
-        n_tokens = cfg.n_patches
-    else:
-        raise ValueError(f"unsupported model for export: {model}")
-
-    # abstract template: orbax restores against ShapeDtypeStructs, so the
-    # model is never initialized or compiled here (flagship init alone is a
-    # multi-minute CPU compile)
-    params_abs = jax.eval_shape(
-        net.init, jax.random.PRNGKey(0),
-        jnp.zeros((1, cfg.image_size, cfg.image_size, 3)))["params"]
+    params_abs = jax.eval_shape(init_fn, *init_args)["params"]
     tx = make_optimizer(1e-4, 1, 10, 1e-5, 0.0)
-    # concrete local sharding on the abstract template: the checkpoint may
-    # have been written on different hardware (e.g. trained on TPU, exported
-    # on a CPU host) and orbax refuses a sharding-less cross-topology restore
     here = jax.sharding.SingleDeviceSharding(jax.local_devices()[0])
     state_abs = jax.tree.map(
         lambda s: jax.ShapeDtypeStruct(s.shape, s.dtype, sharding=here),
         jax.eval_shape(lambda p: TrainState.create(p, tx), params_abs))
     state = Checkpointer(ckpt_dir).restore(state_abs, tag=tag)
-    params = state.params
+    return state.params, int(state.step)
 
-    def encode(p, images):
-        return net.apply({"params": p}, images, method=net.encode)
 
-    def decode(p, indices):
-        return net.apply({"params": p}, indices, method=net.decode_indices)
-
-    params_spec = jax.tree.map(
-        lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), params)
-    img_spec = jax.ShapeDtypeStruct((bs, cfg.image_size, cfg.image_size, 3),
-                                    jnp.float32)
-    enc = export_fn(encode, (params_spec, img_spec), platforms)
-    idx_dtype = enc.out_avals[0].dtype
-    idx_spec = jax.ShapeDtypeStruct((bs, n_tokens), idx_dtype)
-    dec = export_fn(decode, (params_spec, idx_spec), platforms)
+def _write_artifacts(out_dir: str, exported: dict, params, manifest: dict):
+    """Serialize {name: jax.export.Exported} + weights.npz + manifest.json."""
+    import numpy as np
 
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
-    (out / "encode.jaxexport").write_bytes(enc.serialize())
-    (out / "decode.jaxexport").write_bytes(dec.serialize())
-    import numpy as np
-
+    for name, exp in exported.items():
+        (out / f"{name}.jaxexport").write_bytes(exp.serialize())
     # params is a nested dict of arrays: store leaves under '/'-joined key
     # paths; load_exported rebuilds the nested dict without any model code
     flat = {"/".join(p.key for p in path): np.asarray(leaf)
             for path, leaf in
             jax.tree_util.tree_flatten_with_path(params)[0]}
     np.savez(out / "weights.npz", **flat)
-    (out / "manifest.json").write_text(json.dumps({
-        "model": model, "bs": bs, "tag": tag,
-        "image_size": cfg.image_size, "n_tokens": n_tokens,
-        "codebook_size": getattr(cfg, "codebook_size", None),
-        "indices_dtype": str(idx_dtype),
-        "platforms": list(platforms), "attn_impl": attn_impl,
-        "step": int(state.step), "jax_version": jax.__version__,
-    }, indent=2))
+    manifest = dict(manifest, jax_version=jax.__version__,
+                    functions=sorted(exported))
+    (out / "manifest.json").write_text(json.dumps(manifest, indent=2))
     return out
 
 
+def export_tokenizer(ckpt_dir: str, out_dir: str, *, model: str = "titok",
+                     bs: int = 1, tag: str = "best",
+                     platforms=("cpu", "tpu"), attn_impl: str = "xla"):
+    """Export a trained tokenizer checkpoint's encode/decode to ``out_dir``."""
+    from vit_tpu.utils.config import dataclass_from_dict
+
+    cfg_dict = _load_config(ckpt_dir, tag)
+    if model == "titok":
+        from vit_tpu.models.titok import TiTok, TiTokConfig
+
+        cfg_cls, net_cls = TiTokConfig, TiTok
+    elif model == "vit_vqgan":
+        from vit_tpu.models.vit_vqgan import ViTVQGAN, ViTVQGANConfig
+
+        cfg_cls, net_cls = ViTVQGANConfig, ViTVQGAN
+    elif model == "enhancing":
+        from vit_tpu.models.enhancing_vqgan import (EnhancingViTVQGAN,
+                                                    EnhancingVQGANConfig)
+
+        cfg_cls, net_cls = EnhancingVQGANConfig, EnhancingViTVQGAN
+    elif model == "tatitok":
+        from vit_tpu.models.tatitok import TATiTok, TATiTokConfig
+
+        cfg_cls, net_cls = TATiTokConfig, TATiTok
+    elif model == "llamagen_titok":
+        from vit_tpu.models.llamagen_titok import (LlamaGenTiTok,
+                                                   LlamaGenTiTokConfig)
+
+        cfg_cls, net_cls = LlamaGenTiTokConfig, LlamaGenTiTok
+    else:
+        raise ValueError(f"unsupported model for export: {model}")
+
+    cfg = dataclass_from_dict(cfg_cls, cfg_dict)
+    cfg.attn_impl = attn_impl
+    cfg.__post_init__()
+    net = net_cls(cfg)
+    n_tokens = cfg.latent_tokens if model != "vit_vqgan" else cfg.n_patches
+
+    if model == "llamagen_titok":
+        # token-space tokenizer: consumes frozen-VQGAN code ids, decode emits
+        # logits over the VQ codebook (reference train_llamagen_titok.py:69-85)
+        init_input = jnp.zeros((1, cfg.vq_latent_tokens), jnp.int32)
+        in_spec = jax.ShapeDtypeStruct((bs, cfg.vq_latent_tokens), jnp.int32)
+        input_desc = {"input": "vq_code_ids",
+                      "input_shape": [bs, cfg.vq_latent_tokens],
+                      "output": "vq_code_logits"}
+    else:
+        init_input = jnp.zeros((1, cfg.image_size, cfg.image_size, 3))
+        in_spec = jax.ShapeDtypeStruct(
+            (bs, cfg.image_size, cfg.image_size, 3), jnp.float32)
+        input_desc = {"input": "images", "image_size": cfg.image_size}
+
+    params, step = _restore_params(ckpt_dir, tag, net.init,
+                                   (jax.random.PRNGKey(0), init_input))
+
+    if model == "tatitok":
+        if getattr(cfg, "text_guidance", False):
+            raise ValueError(
+                "text-guided TATiTok export is not supported: decode needs a "
+                "(B, ctx, text_dim) guidance tensor per request")
+
+        def encode(p, images):
+            # encode returns (z_quantized, result_dict); serve the indices
+            return net.apply({"params": p}, images,
+                             method=net.encode)[1]["min_encoding_indices"]
+
+        def decode(p, indices):
+            return net.apply({"params": p}, indices, method=net.decode_tokens)
+    else:
+        def encode(p, images):
+            return net.apply({"params": p}, images, method=net.encode)
+
+        def decode(p, indices):
+            return net.apply({"params": p}, indices,
+                             method=net.decode_indices)
+
+    params_spec = jax.tree.map(
+        lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), params)
+    enc = export_fn(encode, (params_spec, in_spec), platforms)
+    idx_dtype = enc.out_avals[0].dtype
+    idx_spec = jax.ShapeDtypeStruct((bs, n_tokens), idx_dtype)
+    dec = export_fn(decode, (params_spec, idx_spec), platforms)
+
+    return _write_artifacts(out_dir, {"encode": enc, "decode": dec}, params, {
+        "model": model, "bs": bs, "tag": tag, **input_desc,
+        "n_tokens": n_tokens,
+        "codebook_size": getattr(cfg, "codebook_size", None),
+        "indices_dtype": str(idx_dtype),
+        "platforms": list(platforms), "attn_impl": attn_impl, "step": step,
+    })
+
+
+def export_classifier(ckpt_dir: str, out_dir: str, *, bs: int = 1,
+                      tag: str = "best", platforms=("cpu", "tpu"),
+                      attn_impl: str = "xla", num_classes: int | None = None):
+    """Export a trained ViT classifier checkpoint (train_vit.py layout) to a
+    ``predict.jaxexport`` (images → logits). ``num_classes`` is read off the
+    checkpointed head kernel's shape when not given."""
+    from vit_tpu.models.vit import ViTClassifier, ViTConfig
+    from vit_tpu.utils.config import dataclass_from_dict
+
+    cfg = dataclass_from_dict(ViTConfig, _load_config(ckpt_dir, tag))
+    cfg.attn_impl = attn_impl
+    cfg.__post_init__()
+    if num_classes is None:
+        import orbax.checkpoint as ocp
+
+        meta = ocp.StandardCheckpointer().metadata(
+            Path(ckpt_dir).absolute() / tag)
+        tree = meta.item_metadata.tree  # StepMetadata → {'params': ...}
+        num_classes = int(tree["params"]["head"]["kernel"].shape[-1])
+    net = ViTClassifier(cfg, num_classes=num_classes)
+
+    params, step = _restore_params(
+        ckpt_dir, tag, net.init,
+        (jax.random.PRNGKey(0),
+         jnp.zeros((1, cfg.image_size, cfg.image_size, cfg.in_channels))))
+
+    def predict(p, images):
+        return net.apply({"params": p}, images, deterministic=True)
+
+    params_spec = jax.tree.map(
+        lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), params)
+    img_spec = jax.ShapeDtypeStruct(
+        (bs, cfg.image_size, cfg.image_size, cfg.in_channels), jnp.float32)
+    pred = export_fn(predict, (params_spec, img_spec), platforms)
+
+    return _write_artifacts(out_dir, {"predict": pred}, params, {
+        "model": "vit_classifier", "bs": bs, "tag": tag,
+        "image_size": cfg.image_size, "num_classes": num_classes,
+        "platforms": list(platforms), "attn_impl": attn_impl, "step": step,
+    })
+
+
+def export_videogpt(ckpt_dir: str, out_dir: str, *, cond_frames: int = 8,
+                    gen_frames: int = 8, bs: int = 1, tag: str = "best",
+                    platforms=("cpu", "tpu"), attn_impl: str = "xla"):
+    """Export a trained VideoGPT AR prior (train_videogpt.py layout) to a
+    ``generate.jaxexport``: conditioning codes (B, cond_frames*frame_size) i32
+    → full rollout (B, (cond_frames+gen_frames)*frame_size) i32.
+
+    The rollout is the KV-cached greedy decode (models/videogpt.py:123-165 —
+    reference semantics train_videogpt.py:56-69, O(n) instead of the
+    reference's per-token full re-forward), frozen as one executable with the
+    frame counts baked in at export time.
+    """
+    from vit_tpu.models.videogpt import VideoGPT, VideoGPTConfig, generate
+    from vit_tpu.utils.config import dataclass_from_dict
+
+    cfg = dataclass_from_dict(VideoGPTConfig, _load_config(ckpt_dir, tag))
+    cfg.attn_impl = attn_impl
+    cfg.__post_init__()
+    net = VideoGPT(cfg)
+    cond = cond_frames * cfg.frame_size
+    n = gen_frames * cfg.frame_size
+    if cond + n > cfg.max_tokens:
+        raise ValueError(f"cond+gen = {cond + n} tokens exceeds the model's "
+                         f"max_tokens {cfg.max_tokens}")
+
+    params, step = _restore_params(
+        ckpt_dir, tag, net.init,
+        (jax.random.PRNGKey(0),
+         jnp.zeros((1, cond_frames, cfg.frame_size), jnp.int32)))
+
+    def rollout(p, tokens):
+        return generate(net, p, tokens, n)
+
+    params_spec = jax.tree.map(
+        lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), params)
+    tok_spec = jax.ShapeDtypeStruct((bs, cond), jnp.int32)
+    gen = export_fn(rollout, (params_spec, tok_spec), platforms)
+
+    return _write_artifacts(out_dir, {"generate": gen}, params, {
+        "model": "videogpt", "bs": bs, "tag": tag,
+        "input": "code_ids", "input_shape": [bs, cond],
+        "frame_size": cfg.frame_size, "codebook_size": cfg.codebook_size,
+        "cond_frames": cond_frames, "gen_frames": gen_frames,
+        "platforms": list(platforms), "attn_impl": attn_impl, "step": step,
+    })
+
+
 def load_exported(out_dir: str):
-    """Load an export dir → {"encode": fn, "decode": fn, "manifest": dict}.
-    Needs no model code: weights.npz is rebuilt into the params pytree and
-    closed over the deserialized executables."""
+    """Load an export dir → {fn_name: callable, ..., "manifest": dict}.
+
+    One entry per ``*.jaxexport`` file (tokenizers: encode/decode;
+    classifiers: predict). Needs no model code: weights.npz is rebuilt into
+    the params pytree and closed over the deserialized executables."""
     import numpy as np
 
     out = Path(out_dir)
     manifest = json.loads((out / "manifest.json").read_text())
-    enc = jex.deserialize((out / "encode.jaxexport").read_bytes())
-    dec = jex.deserialize((out / "decode.jaxexport").read_bytes())
     params: dict = {}
     with np.load(out / "weights.npz") as npz:
         for key in npz.files:
@@ -145,6 +297,11 @@ def load_exported(out_dir: str):
             for p in parts[:-1]:
                 node = node.setdefault(p, {})
             node[parts[-1]] = jnp.asarray(npz[key])
-    return {"encode": lambda x: enc.call(params, x),
-            "decode": lambda idx: dec.call(params, idx),
-            "manifest": manifest}
+
+    def make_call(exp):
+        return lambda x: exp.call(params, x)
+
+    served = {"manifest": manifest}
+    for f in sorted(out.glob("*.jaxexport")):
+        served[f.stem] = make_call(jex.deserialize(f.read_bytes()))
+    return served
