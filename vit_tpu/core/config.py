@@ -34,6 +34,9 @@ class TransformerConfig:
     fused_ln: Optional[bool] = None          # None=auto: fuse pre-LN into the
                                              # qkv/fc1 matmul read on TPU
                                              # (kernels/ln_matmul.py)
+    fused_fc_grad: Optional[bool] = None     # None=auto: fused dW+db backward
+                                             # for the MLP matmuls on TPU
+                                             # (kernels/fc_grad.py)
     remat: bool = False                      # jax.checkpoint each block
     # Author's minimal core uses F.layer_norm without learnable affine params
     # (reference: transformer.py:43-44); the Bytedance core uses nn.LayerNorm with

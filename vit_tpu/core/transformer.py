@@ -30,6 +30,25 @@ from vit_tpu.ops.attention import fused_qkv_attention, multi_head_attention
 from vit_tpu.utils.init import dense, torch_bias_init, torch_kernel_init
 
 
+def _use_fused_fc(cfg: TransformerConfig) -> bool:
+    """Gate for the fused dW+db MLP backward (kernels/fc_grad.py). None=auto:
+    OFF pending an end-to-end flagship measurement; VIT_TPU_FUSED_FC=0/1
+    overrides for A/B benching (the kernel interprets on CPU, so tests can
+    force it on any backend)."""
+    import os
+
+    from vit_tpu.kernels.fc_grad import fused_dense_supported
+
+    if not fused_dense_supported(cfg.n_embd, 4 * cfg.n_embd):
+        return False
+    env = os.environ.get("VIT_TPU_FUSED_FC")
+    if env is not None:
+        return env != "0"
+    if cfg.fused_fc_grad is not None:
+        return cfg.fused_fc_grad
+    return False
+
+
 def _use_fused_ln(cfg: TransformerConfig, decode_pos) -> tuple:
     """(qkv, mlp) gates for fused LN→matmul (kernels/ln_matmul.py); applies to
     the non-affine pre-LN sites outside KV-cache decode. None = auto;
@@ -210,6 +229,7 @@ class Mlp(nn.Module):
         # re-read it saves. The fused_ln path below does NOT repeat that
         # mistake: ln2, fc1, its bias AND the GELU all run inside one kernel
         # (kernels/ln_matmul.py), so no epilogue fusion is split.
+        fused_fc = _use_fused_fc(cfg)
         if fused_ln:
             from vit_tpu.kernels.ln_matmul import fused_ln_matmul
 
@@ -219,12 +239,36 @@ class Mlp(nn.Module):
             dt = cfg.dtype or jnp.result_type(x.dtype, kernel.dtype)
             h = fused_ln_matmul(x.astype(dt), kernel.astype(dt),
                                 fc1_bias.astype(dt), gelu=True)
+        elif fused_fc:
+            # identical math and param tree to dense(name="fc1"); backward
+            # emits dW and the bias grad in one pass over the upstream
+            # gradient (kernels/fc_grad.py) — forward stays plain XLA so the
+            # bias+GELU epilogue fusion is untouched
+            from vit_tpu.kernels.fc_grad import fused_dense
+
+            kernel, fc1_bias = _ProjParams(4 * cfg.n_embd, cfg.n_embd,
+                                           param_dtype=cfg.param_dtype,
+                                           name="fc1")()
+            dt = cfg.dtype or jnp.result_type(x.dtype, kernel.dtype)
+            h = fused_dense(x.astype(dt), kernel.astype(dt),
+                            fc1_bias.astype(dt))
+            h = nn.gelu(h, approximate=False)
         else:
             h = dense(4 * cfg.n_embd, cfg.n_embd, dtype=cfg.dtype,
                       param_dtype=cfg.param_dtype, name="fc1")(x)
             h = nn.gelu(h, approximate=False)  # torch GELU default: exact erf
-        h = dense(cfg.n_embd, 4 * cfg.n_embd, dtype=cfg.dtype,
-                  param_dtype=cfg.param_dtype, name="fc2")(h)
+        if fused_fc:
+            from vit_tpu.kernels.fc_grad import fused_dense
+
+            kernel2, fc2_bias = _ProjParams(cfg.n_embd, 4 * cfg.n_embd,
+                                            param_dtype=cfg.param_dtype,
+                                            name="fc2")()
+            dt = cfg.dtype or jnp.result_type(x.dtype, kernel2.dtype)
+            h = fused_dense(h.astype(dt), kernel2.astype(dt),
+                            fc2_bias.astype(dt))
+        else:
+            h = dense(cfg.n_embd, 4 * cfg.n_embd, dtype=cfg.dtype,
+                      param_dtype=cfg.param_dtype, name="fc2")(h)
         h = nn.Dropout(rate=cfg.dropout)(h, deterministic=deterministic)
         return h
 
