@@ -31,7 +31,9 @@ def main():
     ap.add_argument("--out", required=True)
     ap.add_argument("--model", default="titok",
                     choices=TOKENIZERS + ["vit_classifier", "videogpt"])
-    ap.add_argument("--bs", type=int, default=1)
+    ap.add_argument("--bs", type=int, default=1,
+                    help="exported batch size; 0 = symbolic (any batch, one "
+                    "compile per distinct size at serve time)")
     ap.add_argument("--tag", default="best")
     ap.add_argument("--platforms", nargs="+", default=["cpu", "tpu"])
     ap.add_argument("--attn_impl", default="xla", choices=["xla", "pallas"])

@@ -212,6 +212,49 @@ def test_export_all_tokenizer_families(tmp_path):
             assert decoded.shape == (2, 32, 32, 3)
 
 
+def test_export_symbolic_batch(tmp_path):
+    """bs=0 exports a symbolic batch dim: the same artifact serves any
+    request size, matching the live model exactly (fp32)."""
+    cfg = _tiny_cfg()
+    cfg.dtype = jnp.float32  # exact across compilations (no bf16 VQ ties)
+    cfg.__post_init__()
+    model = TiTok(cfg)
+    images = jax.random.uniform(jax.random.PRNGKey(0), (2, 32, 32, 3),
+                                jnp.float32)
+    params = model.init(jax.random.PRNGKey(1), images[:1])["params"]
+    ckpt_dir = _save_ckpt(tmp_path, params, cfg)
+    out = export_tokenizer(ckpt_dir, str(tmp_path / "export"), bs=0,
+                           platforms=("cpu",))
+    served = load_exported(out)
+    assert served["manifest"]["bs"] == 0
+    for k in (1, 3, 5):
+        x = jax.random.uniform(jax.random.PRNGKey(k), (k, 32, 32, 3))
+        live = model.apply({"params": params}, x, method=model.encode)
+        np.testing.assert_array_equal(np.asarray(served["encode"](x)),
+                                      np.asarray(live), err_msg=str(k))
+        assert served["decode"](np.asarray(live)).shape == (k, 32, 32, 3)
+
+    # HTTP server passes symbolic-batch requests through unpadded
+    import io
+    import threading
+    import urllib.request
+
+    from vit_tpu.serve.server import make_server
+
+    srv = make_server(str(out), port=0, warmup=True)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        buf = io.BytesIO()
+        np.save(buf, np.random.rand(3, 32, 32, 3).astype(np.float32))
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.server_address[1]}/encode",
+            data=buf.getvalue(), method="POST")
+        with urllib.request.urlopen(req) as resp:
+            assert np.load(io.BytesIO(resp.read())).shape == (3, 8)
+    finally:
+        srv.shutdown()
+
+
 def test_export_videogpt_rollout(tmp_path):
     from vit_tpu.models.videogpt import VideoGPT, VideoGPTConfig, generate
     from vit_tpu.serve.export import export_videogpt

@@ -143,8 +143,11 @@ def nearest_code(z: jax.Array, codebook: jax.Array, *,
     c = codebook.shape[0]
     zf = z.reshape(-1, d)
 
+    # symbolic token counts (jax.export shape polymorphism, serve/export.py
+    # --bs 0) cannot size a pallas grid — auto falls back to the XLA oracle
+    static_n = isinstance(zf.shape[0], int)
     use_pallas = impl == "pallas" or (
-        impl is None and c <= _MAX_CODEBOOK_FUSED)
+        impl is None and c <= _MAX_CODEBOOK_FUSED and static_n)
     if impl == "xla" or not use_pallas:
         return nearest_code_xla(zf, codebook, l2_normalize=l2_normalize
                                 ).reshape(batch_shape)

@@ -50,6 +50,18 @@ def export_fn(fn, args_spec, platforms=("cpu", "tpu")):
     return jex.export(jax.jit(fn), platforms=list(platforms))(*args_spec)
 
 
+def _batch_dim(bs: int):
+    """bs > 0: fixed batch. bs == 0: a symbolic batch dim (jax.export shape
+    polymorphism) — the artifact then accepts ANY leading batch size, at the
+    cost of one XLA compile per distinct size at serve time. Pallas fast
+    paths that need static grids (the fused VQ lookup) auto-fall back to
+    their XLA oracle under a symbolic trace (kernels/vq.py)."""
+    if bs > 0:
+        return bs
+    (b,) = jex.symbolic_shape("b")
+    return b
+
+
 def _load_config(ckpt_dir: str, tag: str) -> dict:
     return json.loads((Path(ckpt_dir) / f"{tag}_config.json").read_text())
 
@@ -136,18 +148,19 @@ def export_tokenizer(ckpt_dir: str, out_dir: str, *, model: str = "titok",
     net = net_cls(cfg)
     n_tokens = cfg.latent_tokens if model != "vit_vqgan" else cfg.n_patches
 
+    bdim = _batch_dim(bs)
     if model == "llamagen_titok":
         # token-space tokenizer: consumes frozen-VQGAN code ids, decode emits
         # logits over the VQ codebook (reference train_llamagen_titok.py:69-85)
         init_input = jnp.zeros((1, cfg.vq_latent_tokens), jnp.int32)
-        in_spec = jax.ShapeDtypeStruct((bs, cfg.vq_latent_tokens), jnp.int32)
+        in_spec = jax.ShapeDtypeStruct((bdim, cfg.vq_latent_tokens), jnp.int32)
         input_desc = {"input": "vq_code_ids",
                       "input_shape": [bs, cfg.vq_latent_tokens],
                       "output": "vq_code_logits"}
     else:
         init_input = jnp.zeros((1, cfg.image_size, cfg.image_size, 3))
         in_spec = jax.ShapeDtypeStruct(
-            (bs, cfg.image_size, cfg.image_size, 3), jnp.float32)
+            (bdim, cfg.image_size, cfg.image_size, 3), jnp.float32)
         input_desc = {"input": "images", "image_size": cfg.image_size}
 
     params, step = _restore_params(ckpt_dir, tag, net.init,
@@ -178,7 +191,7 @@ def export_tokenizer(ckpt_dir: str, out_dir: str, *, model: str = "titok",
         lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), params)
     enc = export_fn(encode, (params_spec, in_spec), platforms)
     idx_dtype = enc.out_avals[0].dtype
-    idx_spec = jax.ShapeDtypeStruct((bs, n_tokens), idx_dtype)
+    idx_spec = jax.ShapeDtypeStruct((bdim, n_tokens), idx_dtype)
     dec = export_fn(decode, (params_spec, idx_spec), platforms)
 
     return _write_artifacts(out_dir, {"encode": enc, "decode": dec}, params, {
@@ -222,7 +235,8 @@ def export_classifier(ckpt_dir: str, out_dir: str, *, bs: int = 1,
     params_spec = jax.tree.map(
         lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), params)
     img_spec = jax.ShapeDtypeStruct(
-        (bs, cfg.image_size, cfg.image_size, cfg.in_channels), jnp.float32)
+        (_batch_dim(bs), cfg.image_size, cfg.image_size, cfg.in_channels),
+        jnp.float32)
     pred = export_fn(predict, (params_spec, img_spec), platforms)
 
     return _write_artifacts(out_dir, {"predict": pred}, params, {
@@ -267,7 +281,7 @@ def export_videogpt(ckpt_dir: str, out_dir: str, *, cond_frames: int = 8,
 
     params_spec = jax.tree.map(
         lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), params)
-    tok_spec = jax.ShapeDtypeStruct((bs, cond), jnp.int32)
+    tok_spec = jax.ShapeDtypeStruct((_batch_dim(bs), cond), jnp.int32)
     gen = export_fn(rollout, (params_spec, tok_spec), platforms)
 
     return _write_artifacts(out_dir, {"generate": gen}, params, {

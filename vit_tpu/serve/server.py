@@ -8,11 +8,12 @@ bytes, the one format every numpy client already speaks:
   POST /<fn>            body: .npy array → response: .npy array
                           (tokenizers: /encode /decode; classifiers: /predict)
 
-The exported executables are fixed-batch (bs is baked at export time).
-Requests with a smaller leading dimension are zero-padded up to bs and the
+Exported executables are fixed-batch by default (bs baked at export time):
+requests with a smaller leading dimension are zero-padded up to bs and the
 response sliced back, so clients can send single examples to a bs=8 artifact;
 requests larger than bs are rejected (split client-side or export a bigger
-batch).
+batch). Artifacts exported with ``--bs 0`` have a SYMBOLIC batch dim and
+accept any request size as-is (one XLA compile per distinct size).
 
 CLI:  python -m vit_tpu.serve.server --dir exported/titok --port 8421 --warmup
 
@@ -86,10 +87,10 @@ def make_server(export_dir: str, host: str = "127.0.0.1", port: int = 8421,
                 arr = np.load(io.BytesIO(self.rfile.read(n)),
                               allow_pickle=False)
                 k = arr.shape[0]
-                if k > bs:
+                if bs and k > bs:
                     raise ValueError(
                         f"batch {k} > exported bs {bs}; split the request")
-                if k < bs:
+                if bs and k < bs:
                     pad = np.zeros((bs - k,) + arr.shape[1:], arr.dtype)
                     arr = np.concatenate([arr, pad], axis=0)
                 result = np.asarray(fn(arr))[:k]
@@ -112,7 +113,9 @@ def _input_aval(export_dir: str, name: str):
     exp = jex.deserialize(
         (Path(export_dir) / f"{name}.jaxexport").read_bytes())
     aval = exp.in_avals[-1]
-    return tuple(aval.shape), aval.dtype
+    # symbolic dims (bs=0 exports) have no concrete size: warm up at 1
+    shape = tuple(d if isinstance(d, int) else 1 for d in aval.shape)
+    return shape, aval.dtype
 
 
 def main(argv=None):
