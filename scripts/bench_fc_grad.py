@@ -7,6 +7,7 @@ numbers answer: does the Pallas dW matmul reach XLA's dW speed, so the db
 column-sum pass (~0.3 ms/site · 48 sites on the flagship step) comes free?
 
     python scripts/bench_fc_grad.py [--n 20480] [--c 768] [--steps 30]
+    VIT_TPU_FC_GRAD_T=explicit python scripts/bench_fc_grad.py   # lhs-T A/B
 """
 
 from __future__ import annotations

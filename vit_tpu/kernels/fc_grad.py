@@ -60,8 +60,19 @@ def supported(ca: int, k: int) -> bool:
             and ca * 4 * _LANES <= _ACC_VMEM_BUDGET)
 
 
+def _transpose_mode() -> str:
+    """How the lhs reaches the MXU. "dimnums": dot_general with a dim0×dim0
+    contraction (Mosaic folds the transpose into the matmul when it can);
+    "explicit": jnp.dot(a.T, b) — a VPU relayout per block, the fallback if
+    Mosaic rejects the non-standard bf16 contraction (round-2 rule: bf16
+    wants (M,K)×(K,N)). Env VIT_TPU_FC_GRAD_T switches for on-chip A/B."""
+    import os
+
+    return os.environ.get("VIT_TPU_FC_GRAD_T", "dimnums")
+
+
 def _fc_grad_kernel(a_ref, b_ref, dw_ref, db_ref, *, n_total: int, bn: int,
-                    db_operand: int):
+                    db_operand: int, tmode: str):
     j = pl.program_id(0)
     r = pl.program_id(1)
     a = a_ref[:]
@@ -74,8 +85,11 @@ def _fc_grad_kernel(a_ref, b_ref, dw_ref, db_ref, *, n_total: int, bn: int,
         valid = rows < n_total
         a = jnp.where(valid, a, 0).astype(a.dtype)
         b = jnp.where(valid, b, 0).astype(b.dtype)
-    part = jax.lax.dot_general(a, b, (((0,), (0,)), ((), ())),
-                               preferred_element_type=jnp.float32)
+    if tmode == "explicit":
+        part = jnp.dot(a.T, b, preferred_element_type=jnp.float32)
+    else:
+        part = jax.lax.dot_general(a, b, (((0,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
 
     @pl.when(r == 0)
     def _init():
@@ -130,7 +144,7 @@ def matmul_dw_db(a: jax.Array, b: jax.Array, *, db_operand: int = 1):
     interpret = jax.default_backend() != "tpu"
     dw, db8 = pl.pallas_call(
         functools.partial(_fc_grad_kernel, n_total=n, bn=bn,
-                          db_operand=db_operand),
+                          db_operand=db_operand, tmode=_transpose_mode()),
         grid=(k // bk, pl.cdiv(n, bn)),
         in_specs=[
             pl.BlockSpec((bn, ca), lambda j, r: (r, 0),
