@@ -62,6 +62,16 @@ def _batch_dim(bs: int):
     return b
 
 
+def _check_symbolic(bs: int, attn_impl: str) -> None:
+    """Reject bs=0 + Pallas up front: Pallas grids need static sizes, and the
+    failure otherwise surfaces as an opaque Mosaic shape-poly error mid-trace.
+    (The fused VQ lookup auto-falls back under a symbolic trace; explicitly
+    requested Pallas attention cannot.)"""
+    if bs == 0 and attn_impl == "pallas":
+        raise ValueError("symbolic batch (--bs 0) requires attn_impl='xla': "
+                         "Pallas attention grids need a static batch size")
+
+
 def _load_config(ckpt_dir: str, tag: str) -> dict:
     return json.loads((Path(ckpt_dir) / f"{tag}_config.json").read_text())
 
@@ -114,6 +124,7 @@ def export_tokenizer(ckpt_dir: str, out_dir: str, *, model: str = "titok",
                      bs: int = 1, tag: str = "best",
                      platforms=("cpu", "tpu"), attn_impl: str = "xla"):
     """Export a trained tokenizer checkpoint's encode/decode to ``out_dir``."""
+    _check_symbolic(bs, attn_impl)
     from vit_tpu.utils.config import dataclass_from_dict
 
     cfg_dict = _load_config(ckpt_dir, tag)
@@ -209,6 +220,7 @@ def export_classifier(ckpt_dir: str, out_dir: str, *, bs: int = 1,
     """Export a trained ViT classifier checkpoint (train_vit.py layout) to a
     ``predict.jaxexport`` (images → logits). ``num_classes`` is read off the
     checkpointed head kernel's shape when not given."""
+    _check_symbolic(bs, attn_impl)
     from vit_tpu.models.vit import ViTClassifier, ViTConfig
     from vit_tpu.utils.config import dataclass_from_dict
 
@@ -258,6 +270,7 @@ def export_videogpt(ckpt_dir: str, out_dir: str, *, cond_frames: int = 8,
     reference's per-token full re-forward), frozen as one executable with the
     frame counts baked in at export time.
     """
+    _check_symbolic(bs, attn_impl)
     from vit_tpu.models.videogpt import VideoGPT, VideoGPTConfig, generate
     from vit_tpu.utils.config import dataclass_from_dict
 
@@ -320,7 +333,13 @@ def load_exported(out_dir: str):
         f = jax.jit(exp.call)
         return lambda x: f(params, x)
 
-    served = {"manifest": manifest}
+    served = {"manifest": manifest, "_in_avals": {}}
     for f in sorted(out.glob("*.jaxexport")):
-        served[f.stem] = make_call(jex.deserialize(f.read_bytes()))
+        exp = jex.deserialize(f.read_bytes())
+        served[f.stem] = make_call(exp)
+        # data-arg aval for servers/warmup: symbolic dims (bs=0) become None
+        aval = exp.in_avals[-1]
+        served["_in_avals"][f.stem] = (
+            tuple(d if isinstance(d, int) else None for d in aval.shape),
+            jnp.dtype(aval.dtype).name)
     return served

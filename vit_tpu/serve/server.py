@@ -42,16 +42,20 @@ def make_server(export_dir: str, host: str = "127.0.0.1", port: int = 8421,
 
     served = load_exported(export_dir)
     manifest = served["manifest"]
-    fns = {k: v for k, v in served.items() if k != "manifest"}
+    avals = served["_in_avals"]  # {fn: ((dims-or-None...), dtype_name)}
+    fns = {k: v for k, v in served.items()
+           if k not in ("manifest", "_in_avals")}
     bs = int(manifest["bs"])
 
     if warmup:
         # trigger each executable's device compile before the first request
+        # (symbolic batch dims — None — warm up at size 1)
         import jax
 
         for name, fn in fns.items():
-            aval = _input_aval(export_dir, name)
-            jax.block_until_ready(fn(np.zeros(aval[0], aval[1])))
+            shape, dtype = avals[name]
+            shape = tuple(d if d is not None else 1 for d in shape)
+            jax.block_until_ready(fn(np.zeros(shape, dtype)))
 
     class Handler(BaseHTTPRequestHandler):
         # single-threaded dispatch into jax is NOT needed — calls on a fixed
@@ -76,46 +80,46 @@ def make_server(export_dir: str, host: str = "127.0.0.1", port: int = 8421,
                 self._reply(404, b"unknown path", "text/plain")
 
         def do_POST(self):
+            # always drain the body first: an early reply with unread bytes
+            # desyncs HTTP/1.1 keep-alive (the leftover npy payload would be
+            # parsed as the next request line)
+            n = int(self.headers.get("Content-Length", 0))
+            body = self.rfile.read(n)
             name = self.path.lstrip("/")
             fn = fns.get(name)
             if fn is None:
                 self._reply(404, f"no function {name!r}; have "
                             f"{sorted(fns)}".encode(), "text/plain")
                 return
-            try:
-                n = int(self.headers.get("Content-Length", 0))
-                arr = np.load(io.BytesIO(self.rfile.read(n)),
-                              allow_pickle=False)
+            try:  # request validation → 400
+                arr = np.load(io.BytesIO(body), allow_pickle=False)
                 k = arr.shape[0]
+                shape, dtype = avals[name]
+                if arr.shape[1:] != shape[1:] or arr.dtype != np.dtype(dtype):
+                    raise ValueError(
+                        f"expected (batch,)+{shape[1:]} {dtype}, got "
+                        f"{arr.shape} {arr.dtype}")
                 if bs and k > bs:
                     raise ValueError(
                         f"batch {k} > exported bs {bs}; split the request")
                 if bs and k < bs:
                     pad = np.zeros((bs - k,) + arr.shape[1:], arr.dtype)
                     arr = np.concatenate([arr, pad], axis=0)
+            except Exception as e:
+                self._reply(400, f"{type(e).__name__}: {e}".encode(),
+                            "text/plain")
+                return
+            try:  # execution faults (compile/OOM/dtype plumbing) → 500,
+                  # so retry policies don't misattribute them to the caller
                 result = np.asarray(fn(arr))[:k]
                 buf = io.BytesIO()
                 np.save(buf, result)
                 self._reply(200, buf.getvalue(), "application/octet-stream")
-            except Exception as e:  # surface the cause to the client
-                self._reply(400, f"{type(e).__name__}: {e}".encode(),
+            except Exception as e:
+                self._reply(500, f"{type(e).__name__}: {e}".encode(),
                             "text/plain")
 
     return ThreadingHTTPServer((host, port), Handler)
-
-
-def _input_aval(export_dir: str, name: str):
-    """(shape, dtype) of an exported fn's data argument (arg 1 after params)."""
-    from pathlib import Path
-
-    from jax import export as jex
-
-    exp = jex.deserialize(
-        (Path(export_dir) / f"{name}.jaxexport").read_bytes())
-    aval = exp.in_avals[-1]
-    # symbolic dims (bs=0 exports) have no concrete size: warm up at 1
-    shape = tuple(d if isinstance(d, int) else 1 for d in aval.shape)
-    return shape, aval.dtype
 
 
 def main(argv=None):
