@@ -101,3 +101,36 @@ def test_train_step_decreases_loss():
         if first is None:
             first = float(loss)
     assert float(loss) < first
+
+
+def test_sampled_generation():
+    """temperature/top_k decoding: reproducible under a fixed rng, emits only
+    valid codebook ids, top_k=1 reduces to greedy, and temperature=0 (the
+    default) is untouched reference semantics."""
+    cfg = tiny_config()
+    model = VideoGPT(cfg)
+    x = jax.random.randint(jax.random.PRNGKey(0), (2, 2, 4), 0,
+                           cfg.codebook_size)
+    params = model.init(jax.random.PRNGKey(1), x)["params"]
+    cond = np.asarray(x).reshape(2, -1)[:, :4]
+    cond = jnp.asarray(cond)
+
+    greedy = np.asarray(generate(model, params, cond, 6))
+
+    rng = jax.random.PRNGKey(7)
+    s1 = np.asarray(generate(model, params, cond, 6, temperature=1.0,
+                             rng=rng))
+    s2 = np.asarray(generate(model, params, cond, 6, temperature=1.0,
+                             rng=rng))
+    np.testing.assert_array_equal(s1, s2)          # fixed rng → reproducible
+    assert s1.min() >= 0 and s1.max() < cfg.codebook_size
+    np.testing.assert_array_equal(s1[:, :4], np.asarray(cond))  # prefix kept
+
+    topk1 = np.asarray(generate(model, params, cond, 6, temperature=0.7,
+                                top_k=1, rng=rng))
+    np.testing.assert_array_equal(topk1, greedy)   # top_k=1 == argmax
+
+    import pytest
+
+    with pytest.raises(ValueError, match="requires rng"):
+        generate(model, params, cond, 6, temperature=1.0)

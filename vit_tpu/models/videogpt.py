@@ -119,16 +119,41 @@ def init_cache(model: VideoGPT, params, batch_size: int):
     return variables["cache"]
 
 
-@partial(jax.jit, static_argnums=(0, 3))
-def generate(model: VideoGPT, params, tokens: jax.Array, n: int) -> jax.Array:
-    """Greedy generation (reference train_videogpt.py:56-65 semantics, KV-cache O(n)).
+def _select_token(logits, *, temperature: float, top_k, rng) -> jax.Array:
+    """logits (B, C) → next token (B,). temperature == 0: greedy argmax (the
+    reference's semantics, train_videogpt.py:61). temperature > 0: softmax
+    sampling at ``temperature``, optionally restricted to the ``top_k``
+    highest-probability codes — the standard AR-decoding extension the
+    reference lacks."""
+    if temperature == 0.0:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    logits = logits / temperature
+    if top_k is not None:
+        kth = jax.lax.top_k(logits, top_k)[0][:, -1:]
+        logits = jnp.where(logits < kth, jnp.finfo(logits.dtype).min, logits)
+    return jax.random.categorical(rng, logits, axis=-1).astype(jnp.int32)
 
-    tokens: (B, L) conditioning codes -> (B, L + n) codes.
+
+@partial(jax.jit, static_argnums=(0, 3), static_argnames=("temperature",
+                                                          "top_k"))
+def generate(model: VideoGPT, params, tokens: jax.Array, n: int, *,
+             temperature: float = 0.0, top_k: "int | None" = None,
+             rng: "jax.Array | None" = None) -> jax.Array:
+    """AR generation (reference train_videogpt.py:56-65 semantics, KV-cache O(n)).
+
+    tokens: (B, L) conditioning codes -> (B, L + n) codes. Default is greedy
+    argmax (exact reference parity); temperature/top_k enable stochastic
+    decoding (requires ``rng``; per-position keys are folded from it, so a
+    fixed rng is reproducible).
     """
     cfg = model.config
     b, cond_len = tokens.shape
     total = cond_len + n
     assert total <= cfg.max_tokens, (total, cfg.max_tokens)
+    if temperature > 0.0 and rng is None:
+        raise ValueError("temperature > 0 requires rng")
+    if rng is None:
+        rng = jax.random.PRNGKey(0)  # unused on the greedy path
 
     cache = init_cache(model, params, b)
     buf = jnp.concatenate(
@@ -143,7 +168,8 @@ def generate(model: VideoGPT, params, tokens: jax.Array, n: int) -> jax.Array:
                                   buf[:, :cond_len + 1], method=VideoGPT.prefill,
                                   mutable=["cache"])
     cache = mutated["cache"]
-    first = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    first = _select_token(logits, temperature=temperature, top_k=top_k,
+                          rng=jax.random.fold_in(rng, cond_len))
     buf = jax.lax.dynamic_update_slice_in_dim(buf, first[:, None], cond_len + 1,
                                               axis=1)
 
@@ -153,7 +179,8 @@ def generate(model: VideoGPT, params, tokens: jax.Array, n: int) -> jax.Array:
         logits, mutated = model.apply({"params": params, "cache": cache},
                                       tok, pos, method=VideoGPT.decode_step,
                                       mutable=["cache"])
-        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)    # (B,)
+        nxt = _select_token(logits, temperature=temperature, top_k=top_k,
+                            rng=jax.random.fold_in(rng, pos + 1))       # (B,)
         buf = jax.lax.dynamic_update_slice_in_dim(buf, nxt[:, None], pos + 1,
                                                   axis=1)
         return (buf, mutated["cache"]), None
