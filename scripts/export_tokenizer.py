@@ -41,6 +41,11 @@ def main():
                     help="videogpt only: conditioning frames")
     ap.add_argument("--gen_frames", type=int, default=8,
                     help="videogpt only: frames to generate")
+    ap.add_argument("--temperature", type=float, default=0.0,
+                    help="videogpt only: 0 = greedy (reference); > 0 bakes "
+                    "sampled decoding in (artifact gains a scalar seed input)")
+    ap.add_argument("--top_k", type=int, default=None,
+                    help="videogpt only: restrict sampling to the k best")
     args = ap.parse_args()
 
     from vit_tpu.serve.export import (export_classifier, export_tokenizer,
@@ -55,7 +60,9 @@ def main():
     else:
         out = export_videogpt(args.ckpt, args.out,
                               cond_frames=args.cond_frames,
-                              gen_frames=args.gen_frames, **common)
+                              gen_frames=args.gen_frames,
+                              temperature=args.temperature,
+                              top_k=args.top_k, **common)
     for p in sorted(out.iterdir()):
         print(f"{p}  ({p.stat().st_size} bytes)")
 

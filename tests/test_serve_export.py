@@ -277,3 +277,46 @@ def test_export_videogpt_rollout(tmp_path):
     live = generate(model, params, tokens, 8)         # (2, 16) greedy rollout
     np.testing.assert_array_equal(np.asarray(live),
                                   np.asarray(served["generate"](tokens)))
+
+    # sampled variant: artifact gains a scalar seed input; same seed ==
+    # same rollout == the live sampled generate
+    out2 = export_videogpt(ckpt_dir, str(tmp_path / "export_t"), cond_frames=2,
+                           gen_frames=2, bs=2, platforms=("cpu",),
+                           temperature=1.0, top_k=8)
+    served2 = load_exported(out2)
+    assert served2["manifest"]["temperature"] == 1.0
+    seed = np.uint32(11)
+    s1 = np.asarray(served2["generate"](tokens, seed))
+    s2 = np.asarray(served2["generate"](tokens, seed))
+    np.testing.assert_array_equal(s1, s2)
+    live_s = generate(model, params, tokens, 8, temperature=1.0, top_k=8,
+                      rng=jax.random.PRNGKey(seed))
+    np.testing.assert_array_equal(s1, np.asarray(live_s))
+
+    # the single-array HTTP server must exclude the two-input artifact
+    from vit_tpu.serve.server import make_server
+
+    import threading
+
+    srv = make_server(str(out2), port=0)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        import json
+        import urllib.request
+
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{srv.server_address[1]}/manifest") as r:
+            json.load(r)  # server builds and answers; generate not POSTable
+        import urllib.error
+
+        buf_ = __import__("io").BytesIO()
+        np.save(buf_, np.asarray(tokens))
+        try:
+            urllib.request.urlopen(urllib.request.Request(
+                f"http://127.0.0.1:{srv.server_address[1]}/generate",
+                data=buf_.getvalue(), method="POST"))
+            assert False, "expected 404"
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+    finally:
+        srv.shutdown()

@@ -260,15 +260,20 @@ def export_classifier(ckpt_dir: str, out_dir: str, *, bs: int = 1,
 
 def export_videogpt(ckpt_dir: str, out_dir: str, *, cond_frames: int = 8,
                     gen_frames: int = 8, bs: int = 1, tag: str = "best",
-                    platforms=("cpu", "tpu"), attn_impl: str = "xla"):
+                    platforms=("cpu", "tpu"), attn_impl: str = "xla",
+                    temperature: float = 0.0, top_k: "int | None" = None):
     """Export a trained VideoGPT AR prior (train_videogpt.py layout) to a
     ``generate.jaxexport``: conditioning codes (B, cond_frames*frame_size) i32
     → full rollout (B, (cond_frames+gen_frames)*frame_size) i32.
 
-    The rollout is the KV-cached greedy decode (models/videogpt.py:123-165 —
-    reference semantics train_videogpt.py:56-69, O(n) instead of the
-    reference's per-token full re-forward), frozen as one executable with the
-    frame counts baked in at export time.
+    The rollout is the KV-cached decode (models/videogpt.py — reference
+    semantics train_videogpt.py:56-69, O(n) instead of the reference's
+    per-token full re-forward), frozen as one executable with the frame
+    counts (and decoding strategy) baked in at export time. Greedy by
+    default; ``temperature``/``top_k`` bake stochastic decoding in, in which
+    case the artifact takes a SECOND input — a scalar uint32 seed — and
+    callers use ``served["generate"](tokens, seed)`` (the single-array HTTP
+    server can't serve that form; call the artifact directly).
     """
     _check_symbolic(bs, attn_impl)
     from vit_tpu.models.videogpt import VideoGPT, VideoGPTConfig, generate
@@ -289,19 +294,28 @@ def export_videogpt(ckpt_dir: str, out_dir: str, *, cond_frames: int = 8,
         (jax.random.PRNGKey(0),
          jnp.zeros((1, cond_frames, cfg.frame_size), jnp.int32)))
 
-    def rollout(p, tokens):
-        return generate(net, p, tokens, n)
-
     params_spec = jax.tree.map(
         lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), params)
     tok_spec = jax.ShapeDtypeStruct((_batch_dim(bs), cond), jnp.int32)
-    gen = export_fn(rollout, (params_spec, tok_spec), platforms)
+    if temperature > 0.0:
+        def rollout(p, tokens, seed):
+            return generate(net, p, tokens, n, temperature=temperature,
+                            top_k=top_k, rng=jax.random.PRNGKey(seed))
+
+        seed_spec = jax.ShapeDtypeStruct((), jnp.uint32)
+        gen = export_fn(rollout, (params_spec, tok_spec, seed_spec), platforms)
+    else:
+        def rollout(p, tokens):
+            return generate(net, p, tokens, n)
+
+        gen = export_fn(rollout, (params_spec, tok_spec), platforms)
 
     return _write_artifacts(out_dir, {"generate": gen}, params, {
         "model": "videogpt", "bs": bs, "tag": tag,
         "input": "code_ids", "input_shape": [bs, cond],
         "frame_size": cfg.frame_size, "codebook_size": cfg.codebook_size,
         "cond_frames": cond_frames, "gen_frames": gen_frames,
+        "temperature": temperature, "top_k": top_k,
         "platforms": list(platforms), "attn_impl": attn_impl, "step": step,
     })
 
@@ -325,21 +339,25 @@ def load_exported(out_dir: str):
                 node = node.setdefault(p, {})
             node[parts[-1]] = jnp.asarray(npz[key])
 
+    n_param_avals = len(jax.tree_util.tree_leaves(params))
+
     def make_call(exp):
         # jit the exported call so repeated requests hit the executable cache
         # instead of re-dispatching the module eagerly (measured 4.7x per-call
         # overhead on CPU); symbolic-batch artifacts compile once per distinct
         # request size, exactly as documented
         f = jax.jit(exp.call)
-        return lambda x: f(params, x)
+        return lambda *a: f(params, *a)
 
     served = {"manifest": manifest, "_in_avals": {}}
     for f in sorted(out.glob("*.jaxexport")):
         exp = jex.deserialize(f.read_bytes())
         served[f.stem] = make_call(exp)
-        # data-arg aval for servers/warmup: symbolic dims (bs=0) become None
-        aval = exp.in_avals[-1]
-        served["_in_avals"][f.stem] = (
-            tuple(d if isinstance(d, int) else None for d in aval.shape),
-            jnp.dtype(aval.dtype).name)
+        # data-arg avals (everything after the flattened params) for
+        # servers/warmup; symbolic dims (bs=0) become None. Most fns take one
+        # array; a sampled VideoGPT generate also takes a scalar seed.
+        served["_in_avals"][f.stem] = [
+            (tuple(d if isinstance(d, int) else None for d in a.shape),
+             jnp.dtype(a.dtype).name)
+            for a in exp.in_avals[n_param_avals:]]
     return served

@@ -42,9 +42,12 @@ def make_server(export_dir: str, host: str = "127.0.0.1", port: int = 8421,
 
     served = load_exported(export_dir)
     manifest = served["manifest"]
-    avals = served["_in_avals"]  # {fn: ((dims-or-None...), dtype_name)}
+    avals = served["_in_avals"]  # {fn: [((dims-or-None...), dtype_name), ...]}
+    # the npy-over-HTTP protocol carries ONE array per request: multi-input
+    # artifacts (e.g. a sampled VideoGPT generate, which also takes a seed)
+    # are not servable here — call them via load_exported directly
     fns = {k: v for k, v in served.items()
-           if k not in ("manifest", "_in_avals")}
+           if k not in ("manifest", "_in_avals") and len(avals[k]) == 1}
     bs = int(manifest["bs"])
 
     if warmup:
@@ -53,7 +56,7 @@ def make_server(export_dir: str, host: str = "127.0.0.1", port: int = 8421,
         import jax
 
         for name, fn in fns.items():
-            shape, dtype = avals[name]
+            (shape, dtype), = avals[name]
             shape = tuple(d if d is not None else 1 for d in shape)
             jax.block_until_ready(fn(np.zeros(shape, dtype)))
 
@@ -94,7 +97,7 @@ def make_server(export_dir: str, host: str = "127.0.0.1", port: int = 8421,
             try:  # request validation → 400
                 arr = np.load(io.BytesIO(body), allow_pickle=False)
                 k = arr.shape[0]
-                shape, dtype = avals[name]
+                (shape, dtype), = avals[name]
                 if arr.shape[1:] != shape[1:] or arr.dtype != np.dtype(dtype):
                     raise ValueError(
                         f"expected (batch,)+{shape[1:]} {dtype}, got "
