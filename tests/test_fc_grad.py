@@ -131,3 +131,29 @@ def test_fused_fc_pjit_matches_single_device(monkeypatch):
     for g, r, name in zip(got, ref, ("dW", "db")):
         np.testing.assert_allclose(np.asarray(g), np.asarray(r),
                                    rtol=1e-4, atol=1e-3, err_msg=name)
+
+
+def test_mlp_fused_fc_under_remat(monkeypatch):
+    """fused_dense composes with jax.checkpoint (cfg.remat): same grads."""
+    from vit_tpu.core.config import TransformerConfig
+    from vit_tpu.core.transformer import Transformer
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 128), jnp.float32)
+
+    def grads(remat, fused):
+        monkeypatch.setenv("VIT_TPU_FUSED_FC", "1" if fused else "0")
+        cfg = TransformerConfig(n_layers=1, n_heads=2, n_embd=128,
+                                block_size=16, dtype=jnp.float32,
+                                attn_impl="xla", remat=remat)
+        model = Transformer(cfg)
+        params = model.init(jax.random.PRNGKey(1), x)["params"]
+        return jax.grad(
+            lambda p: jnp.mean(model.apply({"params": p}, x) ** 2))(params)
+
+    ref = grads(remat=False, fused=False)
+    got = grads(remat=True, fused=True)
+    for path, leaf in jax.tree_util.tree_leaves_with_path(ref):
+        other = dict(jax.tree_util.tree_flatten_with_path(got)[0])[path]
+        np.testing.assert_allclose(np.asarray(leaf), np.asarray(other),
+                                   rtol=5e-4, atol=5e-5,
+                                   err_msg=jax.tree_util.keystr(path))
