@@ -320,3 +320,18 @@ def test_export_videogpt_rollout(tmp_path):
             assert e.code == 404
     finally:
         srv.shutdown()
+
+
+def test_export_rejects_pallas_from_cpu_host(tmp_path):
+    """attn_impl='pallas' on a non-TPU host would bake interpret-mode kernels
+    into the artifact — rejected up front (tests run on the CPU backend)."""
+    import pytest
+
+    cfg = _tiny_cfg()
+    model = TiTok(cfg)
+    images = jax.random.uniform(jax.random.PRNGKey(0), (1, 32, 32, 3))
+    params = model.init(jax.random.PRNGKey(1), images)["params"]
+    ckpt_dir = _save_ckpt(tmp_path, params, cfg)
+    with pytest.raises(ValueError, match="TPU host"):
+        export_tokenizer(ckpt_dir, str(tmp_path / "export"), bs=1,
+                         platforms=("tpu",), attn_impl="pallas")

@@ -66,10 +66,18 @@ def _check_symbolic(bs: int, attn_impl: str) -> None:
     """Reject bs=0 + Pallas up front: Pallas grids need static sizes, and the
     failure otherwise surfaces as an opaque Mosaic shape-poly error mid-trace.
     (The fused VQ lookup auto-falls back under a symbolic trace; explicitly
-    requested Pallas attention cannot.)"""
+    requested Pallas attention cannot.) Also reject Pallas exports from a
+    non-TPU host: the kernels pick interpret mode off the HOST backend at
+    trace time, which would silently bake the (orders-of-magnitude slower)
+    interpreter into the TPU artifact."""
     if bs == 0 and attn_impl == "pallas":
         raise ValueError("symbolic batch (--bs 0) requires attn_impl='xla': "
                          "Pallas attention grids need a static batch size")
+    if attn_impl == "pallas" and jax.default_backend() != "tpu":
+        raise ValueError(
+            "attn_impl='pallas' exports must run on a TPU host: on a "
+            f"'{jax.default_backend()}' host the kernels trace in interpret "
+            "mode and that choice is baked into the artifact")
 
 
 def _load_config(ckpt_dir: str, tag: str) -> dict:
