@@ -1,0 +1,230 @@
+"""MAE self-supervised pretraining (TPU-native).
+
+The reference has MAE on its paper checklist (reference README.md:8) with no code —
+this entry point completes that roadmap item in the reference's own script style
+(argparse flags, wandb-compatible metrics, best-metric checkpointing) on the shared
+vit_tpu stack. Pretrain here, then fine-tune the encoder with
+``train_vit.py --init_from <ckpt_dir>`` (vit_tpu/models/mae.py:load_encoder_into_vit).
+
+Flag defaults follow the paper (mask_ratio 0.75, norm_pix, 8-layer/512-dim decoder,
+AdamW wd 0.05) with this repo's image/patch defaults (256px/16px, preset B).
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import jax
+import jax.numpy as jnp
+
+from vit_tpu.data.synthetic import SyntheticImageLoader
+from vit_tpu.models.mae import MAE, MAEConfig
+from vit_tpu.train.checkpoint import Checkpointer
+from vit_tpu.train.optim import make_optimizer
+from vit_tpu.train.state import TrainState, params_str
+from vit_tpu.train.step import make_mae_eval_step, make_mae_train_step
+from vit_tpu.utils.config import str2bool
+from vit_tpu.utils.logging import MetricsLogger
+
+
+def parse_args():
+    parser = argparse.ArgumentParser()
+    parser.add_argument('--data_dir', type=str,
+                        default='/mnt/data/Public_datasets/imagenet/imagenet_pytorch')
+    parser.add_argument('--image_size', type=int, default=256)
+    parser.add_argument('--in_channels', type=int, default=3)
+    parser.add_argument('--patch_size', type=int, default=16)
+    parser.add_argument('--transformer', type=str, default="B")
+    parser.add_argument('--mask_ratio', type=float, default=0.75)
+    parser.add_argument('--decoder_layers', type=int, default=8)
+    parser.add_argument('--decoder_heads', type=int, default=16)
+    parser.add_argument('--decoder_embd', type=int, default=512)
+    parser.add_argument('--norm_pix', type=str2bool, default=True)
+    parser.add_argument('--dropout', type=float, default=0.0)
+    parser.add_argument('--bs', type=int, default=64)
+    parser.add_argument('--mixed', type=str2bool, default=True)
+    parser.add_argument('--lr', type=float, default=1.5e-4)
+    parser.add_argument('--weight_decay', type=float, default=0.05)
+    parser.add_argument('--warmup_steps', type=int, default=5000)
+    parser.add_argument('--train_steps', type=int, default=500000)
+    parser.add_argument('--epochs', type=int, default=10**9)
+    # --- rebuild-only flags (same surface as train_vit.py) ---
+    parser.add_argument('--dataset', type=str, default='imagenet',
+                        choices=['imagenet', 'synthetic', 'wds'])
+    parser.add_argument('--wds_shards', type=str, default=None)
+    parser.add_argument('--wds_streaming', type=str2bool, default=False)
+    parser.add_argument('--shuffle_buffer', type=int, default=1000)
+    parser.add_argument('--steps_per_epoch', type=int, default=50)
+    parser.add_argument('--ckpt_dir', type=str, default='ckpt/mae')
+    parser.add_argument('--resume', action='store_true')
+    parser.add_argument('--attn_impl', type=str, default=None,
+                        choices=[None, 'pallas', 'xla'])
+    parser.add_argument('--log_every', type=int, default=100)
+    parser.add_argument('--seed', type=int, default=0)
+    parser.add_argument('--no_wandb', action='store_true')
+    from vit_tpu.train.distributed import add_mesh_args
+    add_mesh_args(parser)
+    parser.add_argument('--loader_backend', type=str, default='threads',
+                        choices=['threads', 'grain'])
+    parser.add_argument('--loader_processes', type=int, default=0)
+    args = parser.parse_args()
+    args.min_lr = args.lr / 10
+    return args
+
+
+def get_loaders(args):
+    # classification loaders are reused; MAE simply ignores the labels
+    if args.dataset == 'synthetic':
+        train = SyntheticImageLoader(args.image_size, args.bs,
+                                     in_channels=args.in_channels,
+                                     steps_per_epoch=args.steps_per_epoch,
+                                     seed=args.seed)
+        valid = SyntheticImageLoader(args.image_size, 2 * args.bs,
+                                     in_channels=args.in_channels,
+                                     steps_per_epoch=max(1, args.steps_per_epoch // 10),
+                                     seed=args.seed + 1)
+        return train, valid
+    if args.dataset == 'wds':
+        import glob
+
+        from vit_tpu.data.loader import DataLoader
+        from vit_tpu.data.wds import WdsImageClassification
+
+        shards = sorted(glob.glob(args.wds_shards))
+        if not shards:
+            raise FileNotFoundError(f"no shards match {args.wds_shards}")
+        if args.wds_streaming:
+            from vit_tpu.data.wds import streaming_image_loader
+
+            return (streaming_image_loader(shards, args.image_size, args.bs,
+                                           train=True,
+                                           shuffle_buffer=args.shuffle_buffer,
+                                           seed=args.seed),
+                    streaming_image_loader(shards, args.image_size, 2 * args.bs,
+                                           train=False))
+        train_set = WdsImageClassification(shards, args.image_size, train=True)
+        valid_set = WdsImageClassification(shards, args.image_size, train=False)
+        return (DataLoader(train_set, args.bs, shuffle=True, drop_last=True),
+                DataLoader(valid_set, 2 * args.bs, shuffle=False, drop_last=False))
+    from vit_tpu.data.imagenet import get_imagenet_loaders
+
+    return get_imagenet_loaders(args.image_size, args.bs, data_dir=args.data_dir,
+                                backend=args.loader_backend,
+                                processes=args.loader_processes)
+
+
+def main():
+    from vit_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+    args = parse_args()
+    dtype = jnp.bfloat16 if args.mixed else jnp.float32
+    config = MAEConfig(args.image_size, args.in_channels, args.patch_size,
+                       args.transformer, args.mask_ratio, args.decoder_layers,
+                       args.decoder_heads, args.decoder_embd, args.dropout,
+                       args.norm_pix, dtype=dtype, attn_impl=args.attn_impl)
+
+    run_name = (f"mae_{args.patch_size}px_{args.image_size}px_{args.transformer}_"
+                f"{args.mask_ratio}mr_{args.bs}bs_{args.lr}lr")
+    logger = MetricsLogger("mae", run_name, config=vars(args),
+                           use_wandb=not args.no_wandb)
+
+    train_loader, valid_loader = get_loaders(args)
+
+    model = MAE(config)
+    rng = jax.random.PRNGKey(args.seed)
+    k_params, k_mask, k_drop, rng = jax.random.split(rng, 4)
+    init_images = jnp.zeros((1, args.image_size, args.image_size, args.in_channels))
+    params = jax.jit(model.init)({"params": k_params, "mask": k_mask,
+                                  "dropout": k_drop}, init_images)["params"]
+    tx = make_optimizer(args.lr, args.warmup_steps, args.train_steps, args.min_lr,
+                        args.weight_decay, clip_norm=None)
+    state = TrainState.create(params, tx)
+
+    ckpt = Checkpointer(args.ckpt_dir, mode="min")   # best = lowest masked MSE
+    if args.resume and ckpt.can_restore():
+        state = ckpt.restore(state)
+        print(f"RESUMED at step {int(state.step)}")
+
+    from vit_tpu.train.distributed import maybe_mesh_runner
+
+    runner = maybe_mesh_runner(args)
+    if runner is not None:
+        state, st_sh = runner.shard_state(state)
+        rng = runner.put_rep(rng)
+        train_step = runner.jit_step(
+            make_mae_train_step(model),
+            in_specs=(st_sh, "batch", "rep"),
+            out_specs=(st_sh, "rep"), donate_argnums=(0,))
+        eval_step = runner.jit_step(
+            make_mae_eval_step(model),
+            in_specs=(st_sh.params, "batch", "rep"), out_specs="rep")
+    else:
+        train_step = jax.jit(make_mae_train_step(model), donate_argnums=(0,))
+        eval_step = jax.jit(make_mae_eval_step(model))
+
+    print(f"STATS: params={params_str(state.params)}")
+    print(f"PARAMS: {config}")
+
+    from vit_tpu.data.prefetch import device_prefetch
+    from vit_tpu.train.preempt import GracefulShutdown
+
+    shutdown = GracefulShutdown.install()
+    put = (runner.put_batch if runner is not None else jnp.asarray)
+    eval_rng = (runner.put_rep(jax.random.PRNGKey(args.seed + 7))
+                if runner is not None else jax.random.PRNGKey(args.seed + 7))
+    best_loss = float("inf")
+    for epoch in range(args.epochs):
+        st = time.time()
+        prev_loss = None
+        for i, batch in enumerate(device_prefetch(
+                train_loader, lambda b: put(b[0] if isinstance(b, (tuple, list))
+                                            else b))):
+            images = batch
+            load_time = time.time() - st
+            is_log = i % args.log_every == 0
+            rebased = is_log and prev_loss is not None
+            if rebased:
+                float(jax.device_get(prev_loss))
+                st = time.time()
+            state, metrics = train_step(state, images, rng)
+            prev_loss = metrics["train/loss"]
+            if is_log:
+                m = jax.device_get(metrics)
+                loss = float(m["train/loss"])
+                step_time = time.time() - st - (0.0 if rebased else load_time)
+                logger.log({"train/loss": loss, "train/epoch": epoch,
+                            "benchmark/load_time": load_time,
+                            "benchmark/step_time": step_time},
+                           step=int(state.step))
+                print(f"e={epoch} i={i} loss={loss:.4f} "
+                      f"load_time={load_time:.3f} step_time={step_time:.3f}")
+            st = time.time()
+            if shutdown.requested:
+                print(f"PREEMPTED: saving 'last' at step "
+                      f"{int(jax.device_get(state.step))} and exiting")
+                ckpt.save(state, config=config, tag="last")
+                ckpt.finalize()
+                logger.close()
+                return
+
+        val_loss, n = 0.0, 0
+        for batch in valid_loader:
+            images = batch[0] if isinstance(batch, (tuple, list)) else batch
+            m = jax.device_get(eval_step(state.params, put(images), eval_rng))
+            val_loss += float(m["valid/loss"])
+            n += 1
+        val_loss /= max(n, 1)
+        print(f"epoch {epoch}: val_loss={val_loss:.4f}")
+        logger.log({"valid/loss": val_loss}, step=int(state.step))
+        if val_loss < best_loss:
+            best_loss = val_loss
+            ckpt.save_if_best(state, val_loss, config=config)
+
+    ckpt.save(state, config=config, tag="last")
+    ckpt.finalize()
+    logger.close()
+
+
+if __name__ == '__main__':
+    main()

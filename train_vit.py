@@ -65,6 +65,10 @@ def parse_args():
                         help='synthetic dataset epoch length')
     parser.add_argument('--ckpt_dir', type=str, default='ckpt/vit')
     parser.add_argument('--resume', action='store_true')
+    parser.add_argument('--init_from', type=str, default=None,
+                        help='MAE or Puzzle checkpoint dir: initialize the ViT '
+                             'encoder from a self-supervised pretrain '
+                             '(train_mae.py / train_puzzle.py fine-tuning recipe)')
     parser.add_argument('--attn_impl', type=str, default=None,
                         choices=[None, 'pallas', 'xla'])
     parser.add_argument('--log_every', type=int, default=100)
@@ -145,6 +149,22 @@ def main():
     rng = jax.random.PRNGKey(args.seed)
     init_images = jnp.zeros((1, args.image_size, args.image_size, args.in_channels))
     params = jax.jit(model.init)(rng, init_images)["params"]
+    if args.init_from:
+        # self-supervised fine-tuning hand-off; the param-tree shape tells the
+        # source apart (MAE nests under "encoder", Puzzle is ViT-shaped)
+        from vit_tpu.train.checkpoint import load_params
+
+        pre = load_params(args.init_from)
+        if "encoder" in pre:
+            from vit_tpu.models.mae import load_encoder_into_vit
+
+            params = load_encoder_into_vit(pre, params)
+            print(f"INIT encoder from MAE checkpoint {args.init_from}")
+        else:
+            from vit_tpu.models.puzzle import load_puzzle_into_vit
+
+            params = load_puzzle_into_vit(pre, params)
+            print(f"INIT encoder from Puzzle checkpoint {args.init_from}")
     tx = make_optimizer(args.lr, args.warmup_steps, args.train_steps, args.min_lr,
                         args.weight_decay, clip_norm=None)  # reference applies no
     # effective clipping in this script (no clip call at all, train_vit.py:96-110)

@@ -38,6 +38,10 @@ _EXPORTS = {
     "LlamaGenVQ": "vit_tpu.models.llamagen_vq",
     "LlamaGenVQConfig": "vit_tpu.models.llamagen_vq",
     "load_llamagen_vq": "vit_tpu.models.llamagen_vq",
+    "MAE": "vit_tpu.models.mae",
+    "MAEConfig": "vit_tpu.models.mae",
+    "Puzzle": "vit_tpu.models.puzzle",
+    "PuzzleConfig": "vit_tpu.models.puzzle",
     # core
     "Transformer": "vit_tpu.core.transformer",
     "TransformerConfig": "vit_tpu.core.config",

@@ -114,3 +114,18 @@ class Checkpointer:
 
     def can_restore(self, tag: str = "last") -> bool:
         return (self.directory / tag).exists()
+
+
+def load_params(directory: str, tag: Optional[str] = None):
+    """Restore just the ``params`` tree from a checkpoint dir, no state template
+    needed (orbax reconstructs the structure from its saved metadata). Used by
+    cross-script hand-offs — e.g. ``train_vit.py --init_from <mae_ckpt>`` loading a
+    pretrained MAE encoder for fine-tuning. ``tag=None`` prefers ``best`` over
+    ``last``."""
+    d = Path(directory).absolute()
+    if tag is None:
+        tag = "best" if (d / "best").exists() else "last"
+    if not (d / tag).exists():
+        raise FileNotFoundError(f"no '{tag}' checkpoint under {d}")
+    restored = ocp.StandardCheckpointer().restore(d / tag)
+    return restored["params"]

@@ -93,6 +93,91 @@ def make_tokenizer_train_step(model, *, perceptual_loss_fn: Optional[Callable] =
     return train_step
 
 
+def make_mae_train_step(model) -> Callable:
+    """MAE pretraining step: masked-patch MSE (vit_tpu/models/mae.py; the reference
+    lists MAE on its checklist, README.md:8, but has no code). The masking PRNG is
+    a second fold of the step key so masks differ per step but replay on resume."""
+    from vit_tpu.models.mae import mae_loss
+
+    cfg = model.config
+
+    def train_step(state: TrainState, images, rng):
+        rng = jax.random.fold_in(rng, state.step)
+        mask_rng, drop_rng = jax.random.split(rng)
+
+        def loss_fn(params):
+            pred, mask = model.apply(
+                {"params": params}, images, False,
+                rngs={"mask": mask_rng, "dropout": drop_rng})
+            loss = mae_loss(pred, images, mask, cfg.patch_size, cfg.norm_pix)
+            return loss
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        state = state.apply_gradients(grads=grads)
+        metrics = {"train/loss": loss}
+        gn = last_grad_norm(state.opt_state)
+        if gn is not None:
+            metrics["train/grad_norm"] = gn
+        return state, metrics
+
+    return train_step
+
+
+def make_mae_eval_step(model) -> Callable:
+    """Validation: same masked loss with a fixed eval mask key (comparable across
+    epochs) and dropout off."""
+    from vit_tpu.models.mae import mae_loss
+
+    cfg = model.config
+
+    def eval_step(params, images, rng):
+        pred, mask = model.apply({"params": params}, images, True,
+                                 rngs={"mask": rng})
+        return {"valid/loss": mae_loss(pred, images, mask, cfg.patch_size,
+                                       cfg.norm_pix)}
+
+    return eval_step
+
+
+def make_puzzle_train_step(model) -> Callable:
+    """Puzzle/MP3 pretraining step: masked position-prediction CE
+    (vit_tpu/models/puzzle.py; reference README.md:9 checklist item, no code)."""
+    from vit_tpu.models.puzzle import puzzle_loss
+
+    def train_step(state: TrainState, images, rng):
+        rng = jax.random.fold_in(rng, state.step)
+        mask_rng, drop_rng = jax.random.split(rng)
+
+        def loss_fn(params):
+            logits, mask = model.apply(
+                {"params": params}, images, False,
+                rngs={"mask": mask_rng, "dropout": drop_rng})
+            loss, acc = puzzle_loss(logits, mask)
+            return loss, acc
+
+        (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        state = state.apply_gradients(grads=grads)
+        metrics = {"train/loss": loss, "train/pos_acc": acc}
+        gn = last_grad_norm(state.opt_state)
+        if gn is not None:
+            metrics["train/grad_norm"] = gn
+        return state, metrics
+
+    return train_step
+
+
+def make_puzzle_eval_step(model) -> Callable:
+    from vit_tpu.models.puzzle import puzzle_loss
+
+    def eval_step(params, images, rng):
+        logits, mask = model.apply({"params": params}, images, True,
+                                   rngs={"mask": rng})
+        loss, acc = puzzle_loss(logits, mask)
+        return {"valid/loss": loss, "valid/pos_acc": acc}
+
+    return eval_step
+
+
 def make_classifier_eval_step(model) -> Callable:
     """Validation step (reference train_vit.py:114-125): CE loss + accuracy."""
 
