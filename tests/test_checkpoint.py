@@ -100,3 +100,42 @@ def test_bf16_adam_mu_trains_and_checkpoints(tmp_path):
     r_mus = [l for l in jax.tree.leaves(restored.opt_state)
              if hasattr(l, "dtype") and l.dtype == jnp.bfloat16]
     assert len(r_mus) == len(mus)
+
+
+def test_crash_safe_save_keeps_previous_tag(tmp_path):
+    """The async write lands in .{tag}.tmp and is only promoted at a durability
+    barrier — a crash mid-save must leave the previous checkpoint restorable."""
+    ckpt = Checkpointer(str(tmp_path), mode="min")
+    ckpt.save(_state(1.0), tag="last")
+    ckpt.finalize()
+
+    # second save kicked off but the process "crashes" before any barrier:
+    # simulate by abandoning the Checkpointer without finalize()
+    ckpt.save(_state(2.0), tag="last")
+    ckpt._ckptr.wait_until_finished()   # write durable, swap NOT applied
+    assert (tmp_path / ".last.tmp").exists()
+
+    # a fresh process restores the previous (v1) checkpoint
+    fresh = Checkpointer(str(tmp_path))
+    restored = fresh.restore(_state(0.0), tag="last")
+    np.testing.assert_array_equal(np.asarray(restored.params["w"]),
+                                  np.full((4, 4), 1.0))
+
+    # the stale tmp dir is cleaned up by the next save, which then promotes
+    fresh.save(_state(3.0), tag="last")
+    fresh.finalize()
+    assert not (tmp_path / ".last.tmp").exists()
+    restored = Checkpointer(str(tmp_path)).restore(_state(0.0), tag="last")
+    np.testing.assert_array_equal(np.asarray(restored.params["w"]),
+                                  np.full((4, 4), 3.0))
+
+
+def test_save_promotes_at_next_barrier(tmp_path):
+    ckpt = Checkpointer(str(tmp_path), mode="min")
+    ckpt.save(_state(5.0), tag="last")
+    # restore() is itself a barrier: it promotes the pending write
+    restored = ckpt.restore(_state(0.0), tag="last")
+    np.testing.assert_array_equal(np.asarray(restored.params["w"]),
+                                  np.full((4, 4), 5.0))
+    assert (tmp_path / "last").exists()
+    assert not (tmp_path / ".last.tmp").exists()

@@ -51,6 +51,28 @@ class Checkpointer:
         self.mode = mode
         self.best: Optional[float] = None
         self._ckptr = ocp.StandardCheckpointer()
+        self._pending_swaps: list = []   # [(tmp_path, final_path), ...]
+
+    def _apply_pending_swaps(self):
+        """Promote finished async writes from their tmp dirs to their tags.
+        Caller must hold wait_until_finished (writes durable). The old tag stays
+        on disk until the new one is in place, so a crash at any point leaves a
+        restorable checkpoint: before the swap the old tag survives (a stale
+        ``.{tag}.tmp`` is cleaned up on the next save), after it the new one."""
+        import shutil
+
+        for tmp, final in self._pending_swaps:
+            if not tmp.exists():
+                continue
+            old = final.with_name(final.name + ".old")
+            if old.exists():
+                shutil.rmtree(old)
+            if final.exists():
+                final.rename(old)
+            tmp.rename(final)
+            if old.exists():
+                shutil.rmtree(old)
+        self._pending_swaps.clear()
 
     def _improved(self, metric: float) -> bool:
         if self.best is None:
@@ -69,25 +91,31 @@ class Checkpointer:
         returns (donation-safe — the training step may overwrite the buffers),
         but the disk write runs in a background thread (orbax AsyncCheckpointer).
         Call ``finalize()`` before reading the checkpoint back or exiting.
-        Crash window (pre-existing): the previous ``tag`` dir is removed before
-        the new write is durable; a crash in between loses that tag."""
-        path = self.directory / tag
+
+        Crash-safe: the write lands in a ``.{tag}.tmp`` dir and is promoted to
+        ``tag`` only after it is durable (at the next save/finalize/restore
+        barrier), so the previous checkpoint survives a crash at any point."""
+        path = self.directory / f".{tag}.tmp"
         tree = {"step": state.step, "params": state.params,
                 "opt_state": state.opt_state}
         multihost = jax.process_count() > 1
         proc0 = jax.process_index() == 0
         self._ckptr.wait_until_finished()  # serialize with the previous save
-        if path.exists() and (proc0 or not multihost):
-            import shutil
+        if proc0 or not multihost:
+            self._apply_pending_swaps()    # promote the previous durable write
+            if path.exists():              # stale tmp from a crashed run
+                import shutil
 
-            shutil.rmtree(path)
+                shutil.rmtree(path)
         if multihost:
             # all processes must enter orbax's collective save together, after
-            # proc 0 cleared the stale directory
+            # proc 0 cleared the stale tmp directory
             from jax.experimental import multihost_utils
 
             multihost_utils.sync_global_devices(f"ckpt_clear_{tag}")
         self._ckptr.save(path, tree)
+        if proc0 or not multihost:
+            self._pending_swaps.append((path, self.directory / tag))
         if proc0 or not multihost:
             if config is not None:
                 (self.directory / f"{tag}_config.json").write_text(
@@ -96,11 +124,14 @@ class Checkpointer:
             (self.directory / f"{tag}_meta.json").write_text(json.dumps(meta))
 
     def finalize(self):
-        """Block until any in-flight async save is durable on disk."""
+        """Block until any in-flight async save is durable on disk and promoted."""
         self._ckptr.wait_until_finished()
+        if jax.process_count() == 1 or jax.process_index() == 0:
+            self._apply_pending_swaps()
 
     def restore(self, state_template: TrainState, tag: str = "last") -> TrainState:
         self._ckptr.wait_until_finished()
+        self._apply_pending_swaps()
         path = self.directory / tag
         tree = {"step": state_template.step, "params": state_template.params,
                 "opt_state": state_template.opt_state}
