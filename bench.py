@@ -129,13 +129,14 @@ def main():
             # ln_stats_extra_reads (4.5) CLOSED-negative (AD residual traffic
             # beats the saved stats pass); adamw bf16 mu REALIZED (~1 ms, now
             # default); dwconv boundary copies (8.2) CLOSED-neutral (hwnc
-            # layout removes them, XLA's HWNC conv emitter absorbs the gain).
-            # What remains above roofline is the grouped dwconv itself, which
-            # runs at 104-150 GB/s effective vs the ~550 GB/s fused-pattern
-            # envelope; two Pallas designs measured 3x slower (per-tap sublane
-            # relayouts) — recoverable only by a better conv schedule.
-            "open_software_pools_ms_per_step": {
-                "dwconv_above_bandwidth_roofline": 15.0},
+            # layout removes them, XLA's HWNC conv emitter absorbs the gain);
+            # grouped dwconv (was booked as ~15 ms of bandwidth headroom)
+            # CLOSED-compute-bound: scripts/bench_vpu.py measured the VPU FMA
+            # issue envelope at ~0.7-0.8 T MAC/s and the in-step dwconv already
+            # sustains ~1.05 T MAC/s (22 GMAC / 20.9 ms) — the bandwidth
+            # framing was the wrong limiter; XLA's conv emitter is at the ALU
+            # floor. No open software pools remain mapped.
+            "open_software_pools_ms_per_step": {},
         }
     print(json.dumps(out))
 

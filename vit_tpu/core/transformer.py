@@ -32,9 +32,12 @@ from vit_tpu.utils.init import dense, torch_bias_init, torch_kernel_init
 
 def _use_fused_fc(cfg: TransformerConfig) -> bool:
     """Gate for the fused dW+db MLP backward (kernels/fc_grad.py). None=auto:
-    OFF pending an end-to-end flagship measurement; VIT_TPU_FUSED_FC=0/1
-    overrides for A/B benching (the kernel interprets on CPU, so tests can
-    force it on any backend)."""
+    OFF — measured end-to-end NEGATIVE on the flagship step (245.1 vs 262.3
+    img/s with VIT_TPU_FC_GRAD_T=explicit, the mode that WINS its standalone
+    microbenchmark by +2.8 ms; BENCHMARKS.md round-3 close-out). Same failure
+    shape as the LN→matmul fusion: a Pallas custom-call in the backward breaks
+    XLA's surrounding fusions. VIT_TPU_FUSED_FC=0/1 overrides for A/B benching
+    (the kernel interprets on CPU, so tests can force it on any backend)."""
     import os
 
     from vit_tpu.kernels.fc_grad import fused_dense_supported
