@@ -41,5 +41,9 @@ def test_export_tokenizer_runs_on_tpu(tmp_path):
                                   live_idx)
     live_img = model.apply({"params": params}, jnp.asarray(live_idx),
                            method=model.decode_indices)
+    # fp32 matmuls on TPU run at default (bf16-pass) precision, and the live
+    # apply and the deserialized artifact are compiled independently, so their
+    # fusions differ: measured max-abs divergence 2.6e-3 on O(1) outputs.
+    # Indices above are still exact; pixels get a TPU-precision tolerance.
     np.testing.assert_allclose(np.asarray(served["decode"](live_idx)),
-                               np.asarray(live_img), rtol=1e-4, atol=1e-4)
+                               np.asarray(live_img), rtol=1e-2, atol=5e-3)
