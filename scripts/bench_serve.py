@@ -40,7 +40,7 @@ def _export_dir(args) -> str:
     if args.ckpt:
         export_tokenizer(args.ckpt, out, bs=args.bs,
                          platforms=(jax.default_backend(),),
-                         attn_impl=args.attn_impl)
+                         attn_impl=args.attn_impl, quantize=args.quantize)
         return out
 
     # no checkpoint: flagship-config TiTok-B with random params, written
@@ -62,17 +62,17 @@ def _export_dir(args) -> str:
     ckpt.finalize()
     export_tokenizer(ckpt_dir, out, bs=args.bs,
                      platforms=(jax.default_backend(),),
-                     attn_impl=args.attn_impl)
+                     attn_impl=args.attn_impl, quantize=args.quantize)
     return out
 
 
-def _timed(fn, steps):
-    np.asarray(fn())  # compile + warm
+def _timed(fn, steps, barrier=np.asarray):
+    barrier(fn())  # compile + warm
     t0 = time.perf_counter()
     out = None
     for _ in range(steps):
         out = fn()
-    np.asarray(out)   # full host fetch = completion barrier
+    barrier(out)   # completion barrier (full host fetch by default)
     return (time.perf_counter() - t0) / steps
 
 
@@ -83,8 +83,15 @@ def main():
     ap.add_argument("--ckpt", default=None,
                     help="trained checkpoint dir (default: random flagship)")
     ap.add_argument("--attn_impl", default="xla", choices=["xla", "pallas"])
+    ap.add_argument("--quantize", default=None, choices=["int8"],
+                    help="export the artifact with int8 MXU matmuls")
     ap.add_argument("--http", action="store_true",
                     help="also measure npy-over-HTTP round-trip latency")
+    ap.add_argument("--device_resident", action="store_true",
+                    help="keep inputs on device and fetch only a 1-element "
+                    "barrier: isolates on-chip latency from host<->device "
+                    "transfer (through the dev tunnel the transfer dominates; "
+                    "a production host's PCIe link would not)")
     args = ap.parse_args()
 
     from vit_tpu.utils.cache import enable_compilation_cache
@@ -99,20 +106,29 @@ def main():
     size = man["image_size"]
     images = np.random.rand(args.bs, size, size, 3).astype(np.float32)
 
-    enc_t = _timed(lambda: served["encode"](images), args.steps)
-    idx = np.asarray(served["encode"](images))
-    dec_t = _timed(lambda: served["decode"](idx), args.steps)
+    if args.device_resident:
+        barrier = lambda o: jax.device_get(jnp.ravel(o)[:1])  # noqa: E731
+        enc_in = jnp.asarray(images)
+    else:
+        barrier, enc_in = np.asarray, images
+    enc_t = _timed(lambda: served["encode"](enc_in), args.steps, barrier)
+    idx = np.asarray(served["encode"](enc_in))
+    dec_in = jnp.asarray(idx) if args.device_resident else idx
+    dec_t = _timed(lambda: served["decode"](dec_in), args.steps, barrier)
 
     toks = args.bs * n_tokens
+    q = {"quantize": args.quantize} if args.quantize else {}
+    if args.device_resident:
+        q["device_resident"] = True
     print(json.dumps({"metric": "serve_encode_tokens_per_s",
                       "value": round(toks / enc_t, 1), "unit": "tokens/s",
-                      "bs": args.bs, "latency_ms": round(enc_t * 1e3, 2)}))
+                      "bs": args.bs, "latency_ms": round(enc_t * 1e3, 2), **q}))
     print(json.dumps({"metric": "serve_decode_tokens_per_s",
                       "value": round(toks / dec_t, 1), "unit": "tokens/s",
-                      "bs": args.bs, "latency_ms": round(dec_t * 1e3, 2)}))
+                      "bs": args.bs, "latency_ms": round(dec_t * 1e3, 2), **q}))
     print(json.dumps({"metric": "serve_encdec_tokens_per_s",
                       "value": round(toks / (enc_t + dec_t), 1),
-                      "unit": "tokens/s", "bs": args.bs}))
+                      "unit": "tokens/s", "bs": args.bs, **q}))
 
     if args.http:
         import io

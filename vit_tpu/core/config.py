@@ -37,6 +37,11 @@ class TransformerConfig:
     fused_fc_grad: Optional[bool] = None     # None=auto: fused dW+db backward
                                              # for the MLP matmuls on TPU
                                              # (kernels/fc_grad.py)
+    quant: Optional[str] = None              # None | "int8": serving-only
+                                             # int8 MXU matmuls for the block
+                                             # Dense sites (core/quant.py);
+                                             # param tree changes to
+                                             # {kernel_q, scale, bias}
     remat: bool = False                      # jax.checkpoint each block
     # Author's minimal core uses F.layer_norm without learnable affine params
     # (reference: transformer.py:43-44); the Bytedance core uses nn.LayerNorm with

@@ -42,6 +42,8 @@ def _use_fused_fc(cfg: TransformerConfig) -> bool:
 
     from vit_tpu.kernels.fc_grad import fused_dense_supported
 
+    if cfg.quant is not None:
+        return False
     if not fused_dense_supported(cfg.n_embd, 4 * cfg.n_embd):
         return False
     env = os.environ.get("VIT_TPU_FUSED_FC")
@@ -58,7 +60,7 @@ def _use_fused_ln(cfg: TransformerConfig, decode_pos) -> tuple:
     VIT_TPU_FUSED_LN=0/1/qkv/mlp overrides (site-granular for A/B benching)."""
     import os
 
-    if cfg.ln_affine or decode_pos is not None:
+    if cfg.ln_affine or decode_pos is not None or cfg.quant is not None:
         return False, False
     from vit_tpu.kernels.ln_matmul import supported
 
@@ -139,21 +141,34 @@ class Attention(nn.Module):
     def __call__(self, x, deterministic: bool = True, decode_pos=None,
                  fused_ln: bool = False):
         cfg = self.config
-        # Same param tree as dense(name="qkv") but applied with the bias split
-        # out: the packed Pallas path adds it in-kernel and emits its gradient
-        # from a VMEM accumulator instead of an XLA full-dqkv reduction pass.
-        kernel, bias = _ProjParams(3 * cfg.n_embd, cfg.n_embd,
-                                   param_dtype=cfg.param_dtype, name="qkv")()
-        dt = cfg.dtype or jnp.result_type(x.dtype, kernel.dtype)
-        if fused_ln:
-            # x is the RAW residual stream: ln1 is fused into the qkv matmul
-            # read (kernels/ln_matmul.py); the qkv bias stays in the attention
-            # kernel as before.
-            from vit_tpu.kernels.ln_matmul import fused_ln_matmul
+        if cfg.quant == "int8":
+            # Serving-only int8 path (core/quant.py): int8 kernel + per-channel
+            # scale, dynamic per-row activation quantization, MXU int8 matmul.
+            # Bias stays split out exactly like the fp path below.
+            from vit_tpu.core.quant import QuantProjParams, int8_matmul
 
-            qkv_nb = fused_ln_matmul(x.astype(dt), kernel.astype(dt))
+            kernel_q, scale, bias = QuantProjParams(
+                3 * cfg.n_embd, cfg.n_embd, name="qkv")()
+            dt = cfg.dtype
+            qkv_nb = int8_matmul(x, kernel_q, scale).astype(dt)
         else:
-            qkv_nb = jnp.dot(x.astype(dt), kernel.astype(dt))
+            # Same param tree as dense(name="qkv") but applied with the bias
+            # split out: the packed Pallas path adds it in-kernel and emits its
+            # gradient from a VMEM accumulator instead of an XLA full-dqkv
+            # reduction pass.
+            kernel, bias = _ProjParams(3 * cfg.n_embd, cfg.n_embd,
+                                       param_dtype=cfg.param_dtype,
+                                       name="qkv")()
+            dt = cfg.dtype or jnp.result_type(x.dtype, kernel.dtype)
+            if fused_ln:
+                # x is the RAW residual stream: ln1 is fused into the qkv
+                # matmul read (kernels/ln_matmul.py); the qkv bias stays in the
+                # attention kernel as before.
+                from vit_tpu.kernels.ln_matmul import fused_ln_matmul
+
+                qkv_nb = fused_ln_matmul(x.astype(dt), kernel.astype(dt))
+            else:
+                qkv_nb = jnp.dot(x.astype(dt), kernel.astype(dt))
         if decode_pos is not None:
             qkv = qkv_nb + bias.astype(dt)
             q, k, v = rearrange(qkv, "b n (three h d) -> three b h n d",
@@ -174,8 +189,14 @@ class Attention(nn.Module):
                 qkv_bias=bias,
             )
         if cfg.attn_out_proj:
-            out = dense(cfg.n_embd, cfg.n_embd, dtype=cfg.dtype,
-                        param_dtype=cfg.param_dtype, name="out_proj")(out)
+            if cfg.quant == "int8":
+                from vit_tpu.core.quant import QuantDense
+
+                out = QuantDense(cfg.n_embd, cfg.n_embd, dtype=cfg.dtype,
+                                 name="out_proj")(out)
+            else:
+                out = dense(cfg.n_embd, cfg.n_embd, dtype=cfg.dtype,
+                            param_dtype=cfg.param_dtype, name="out_proj")(out)
         return out
 
     def _decode(self, q, k, v, pos):
@@ -232,6 +253,18 @@ class Mlp(nn.Module):
         # re-read it saves. The fused_ln path below does NOT repeat that
         # mistake: ln2, fc1, its bias AND the GELU all run inside one kernel
         # (kernels/ln_matmul.py), so no epilogue fusion is split.
+        if cfg.quant == "int8":
+            # Serving-only int8 path; fused_ln/fused_fc are forced off by
+            # their gates when quant is set.
+            from vit_tpu.core.quant import QuantDense
+
+            h = QuantDense(4 * cfg.n_embd, cfg.n_embd, dtype=cfg.dtype,
+                           name="fc1")(x)
+            h = nn.gelu(h, approximate=False)
+            h = QuantDense(cfg.n_embd, 4 * cfg.n_embd, dtype=cfg.dtype,
+                           name="fc2")(h)
+            h = nn.Dropout(rate=cfg.dropout)(h, deterministic=deterministic)
+            return h
         fused_fc = _use_fused_fc(cfg)
         if fused_ln:
             from vit_tpu.kernels.ln_matmul import fused_ln_matmul

@@ -62,6 +62,7 @@ class MAEConfig:
     param_dtype: jnp.dtype = jnp.float32
     attn_impl: Optional[str] = None
     remat: bool = False
+    quant: Optional[str] = None
 
     def __post_init__(self):
         self.n_patches = (self.image_size // self.patch_size) ** 2
@@ -71,12 +72,13 @@ class MAEConfig:
         # +1: cls token rides along in both stacks
         self.enc_config: TransformerConfig = transformer_configs[self.transformer](
             block_size=self.len_keep + 1, dropout=self.dropout, dtype=self.dtype,
-            param_dtype=self.param_dtype, attn_impl=self.attn_impl, remat=self.remat)
+            param_dtype=self.param_dtype, attn_impl=self.attn_impl, remat=self.remat,
+            quant=self.quant)
         self.dec_config = TransformerConfig(
             n_layers=self.decoder_layers, n_heads=self.decoder_heads,
             n_embd=self.decoder_embd, block_size=self.n_patches + 1,
             dropout=self.dropout, dtype=self.dtype, param_dtype=self.param_dtype,
-            attn_impl=self.attn_impl, remat=self.remat)
+            attn_impl=self.attn_impl, remat=self.remat, quant=self.quant)
 
 
 def random_masking(rng, batch: int, n: int, len_keep: int):

@@ -47,6 +47,7 @@ class PuzzleConfig:
     param_dtype: jnp.dtype = jnp.float32
     attn_impl: Optional[str] = None
     remat: bool = False
+    quant: Optional[str] = None
 
     def __post_init__(self):
         self.n_patches = (self.image_size // self.patch_size) ** 2
@@ -54,7 +55,7 @@ class PuzzleConfig:
         self.trans_config: TransformerConfig = transformer_configs[self.transformer](
             block_size=self.n_patches, dropout=self.dropout, dtype=self.dtype,
             param_dtype=self.param_dtype, attn_impl=self.attn_impl,
-            remat=self.remat)
+            remat=self.remat, quant=self.quant)
 
 
 class Puzzle(nn.Module):

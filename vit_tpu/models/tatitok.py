@@ -60,6 +60,7 @@ class TATiTokConfig:
     param_dtype: jnp.dtype = jnp.float32
     attn_impl: Optional[str] = None
     remat: bool = False
+    quant: Optional[str] = None
 
     def __post_init__(self):
         self.grid_size = self.image_size // self.patch_size
@@ -70,7 +71,7 @@ class TATiTokConfig:
         self.trans_config = bytedance_config(
             self.transformer, block_size=seq, dropout=0.0, dtype=self.dtype,
             param_dtype=self.param_dtype, attn_impl=self.attn_impl,
-            remat=self.remat)
+            remat=self.remat, quant=self.quant)
 
 
 def _conv_tn(features, kernel, dtype, param_dtype, name=None, strides=None,

@@ -39,6 +39,7 @@ class TiTokConfig:
     param_dtype: jnp.dtype = jnp.float32
     attn_impl: Optional[str] = None
     remat: bool = False
+    quant: Optional[str] = None
     quantizer: str = "vq"          # "vq" | "fsq" (the reference's intended-but-unwired
                                    # FSQ variant, SURVEY.md §2d quirk 8)
     fsq_levels: Optional[Tuple[int, ...]] = None
@@ -47,7 +48,7 @@ class TiTokConfig:
         self.grid_size = self.image_size // self.patch_size
         self.n_patches = self.grid_size ** 2
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype,
-                  attn_impl=self.attn_impl, remat=self.remat)
+                  attn_impl=self.attn_impl, remat=self.remat, quant=self.quant)
         # encoder ViT: image + K latent slots (reference train_titok.py:29)
         self.enc_vit_config = ViTConfig(self.image_size, 3, self.patch_size,
                                         self.transformer, self.latent_tokens, 0.0, **kw)

@@ -38,6 +38,7 @@ class VideoGPTConfig:
     dtype: jnp.dtype = jnp.bfloat16
     param_dtype: jnp.dtype = jnp.float32
     attn_impl: Optional[str] = None
+    quant: Optional[str] = None
     remat: bool = False
 
     def __post_init__(self):
@@ -45,7 +46,8 @@ class VideoGPTConfig:
         self.trans_config: TransformerConfig = transformer_configs[self.transformer](
             block_size=self.max_tokens, dropout=self.dropout, causal=True,
             dtype=self.dtype, param_dtype=self.param_dtype,
-            attn_impl=self.attn_impl, remat=self.remat)
+            attn_impl=self.attn_impl, remat=self.remat,
+            quant=self.quant)
         self.n_embd = self.trans_config.n_embd
 
 

@@ -43,6 +43,7 @@ class ViTConfig:
     param_dtype: jnp.dtype = jnp.float32
     attn_impl: Optional[str] = None
     remat: bool = False
+    quant: Optional[str] = None
 
     def __post_init__(self):
         self.n_patches = (self.image_size // self.patch_size) ** 2
@@ -54,6 +55,7 @@ class ViTConfig:
             param_dtype=self.param_dtype,
             attn_impl=self.attn_impl,
             remat=self.remat,
+            quant=self.quant,
         )
 
 

@@ -34,6 +34,7 @@ class ViTVQGANConfig:
     dtype: jnp.dtype = jnp.bfloat16
     param_dtype: jnp.dtype = jnp.float32
     attn_impl: Optional[str] = None
+    quant: Optional[str] = None
     remat: bool = False
     quantizer: str = "vq"
     fsq_levels: Optional[Tuple[int, ...]] = None
@@ -43,7 +44,8 @@ class ViTVQGANConfig:
         self.n_patches = self.grid_size ** 2
         self.latent_tokens = self.n_patches
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype,
-                  attn_impl=self.attn_impl, remat=self.remat)
+                  attn_impl=self.attn_impl, remat=self.remat,
+                  quant=self.quant)
         self.enc_vit_config = ViTConfig(self.image_size, 3, self.patch_size,
                                         self.transformer, 0, 0.0, **kw)
         self.n_embd = self.enc_vit_config.trans_config.n_embd

@@ -37,6 +37,7 @@ CLI: ``python scripts/export_tokenizer.py --ckpt <dir> --out <dir> --bs 8``.
 
 from __future__ import annotations
 
+import dataclasses
 import json
 from pathlib import Path
 
@@ -78,6 +79,97 @@ def _check_symbolic(bs: int, attn_impl: str) -> None:
             "attn_impl='pallas' exports must run on a TPU host: on a "
             f"'{jax.default_backend()}' host the kernels trace in interpret "
             "mode and that choice is baked into the artifact")
+
+
+def _check_quantize(quantize, model: str = "") -> None:
+    if quantize not in (None, "int8"):
+        raise ValueError(f"unsupported quantize mode: {quantize!r} "
+                         "(None or 'int8')")
+    if quantize and model == "enhancing":
+        raise ValueError(
+            "quantize is not supported for the 'enhancing' model: it uses "
+            "its own PreNorm/Tanh-FFN transformer stack (reference "
+            "train_enhancing_vitvqgan.py:104-169), not the shared core the "
+            "int8 path hooks into")
+
+
+def _quantized_net_params(net_cls, cfg, params, init_input):
+    """Build the int8 twin of ``net_cls(cfg)`` and its param tree.
+
+    ``cfg`` must already have ``quant`` set and re-derived; the fp ``params``
+    (from the checkpoint) are converted against the quant model's structure —
+    kernel → (kernel_q, scale) at each quantized Dense site (core/quant.py).
+    """
+    import jax.random as jrandom
+
+    from vit_tpu.core.quant import quantize_params
+
+    net_q = net_cls(cfg)
+    target = jax.eval_shape(net_q.init, jrandom.PRNGKey(0), init_input)["params"]
+    return net_q, quantize_params(target, params)
+
+
+def _make_codec(net, model: str):
+    """(encode, decode) closures for a tokenizer ``net``: images (or, for
+    llamagen_titok, frozen-VQ code ids) → indices, indices → reconstruction
+    (or code logits). Shared by the export lowering and the quantization
+    fidelity probe so both measure the same functions."""
+    if model == "tatitok":
+        def encode(p, images):
+            # encode returns (z_quantized, result_dict); serve the indices
+            return net.apply({"params": p}, images,
+                             method=net.encode)[1]["min_encoding_indices"]
+
+        def decode(p, indices):
+            return net.apply({"params": p}, indices, method=net.decode_tokens)
+    else:
+        def encode(p, images):
+            return net.apply({"params": p}, images, method=net.encode)
+
+        def decode(p, indices):
+            return net.apply({"params": p}, indices,
+                             method=net.decode_indices)
+    return encode, decode
+
+
+def _quant_fidelity(model: str, cfg, codec_fp, params_fp, codec_q, params_q):
+    """Measure the int8 twin against the fp model on a synthetic probe batch.
+
+    Returns manifest fields making the quantization accuracy cost visible at
+    deploy time (core/quant.py docstring contract): the encode-index agreement
+    rate, plus decode PSNR vs the fp reconstruction (image-output models) or
+    the argmax agreement of the code logits (llamagen_titok). Runs on the
+    export host's default backend; four bs=2 forwards (fp and int8 encode +
+    decode), each a small extra compile at export time.
+    """
+    import numpy as np
+
+    enc_fp, dec_fp = codec_fp
+    enc_q, dec_q = codec_q
+    key = jax.random.PRNGKey(0)
+    if model == "llamagen_titok":
+        probe = jax.random.randint(key, (2, cfg.vq_latent_tokens), 0,
+                                   cfg.vq_codebook_size, jnp.int32)
+    else:
+        probe = jax.random.uniform(
+            key, (2, cfg.image_size, cfg.image_size, 3), jnp.float32)
+    idx_fp = np.asarray(jax.jit(enc_fp)(params_fp, probe))
+    idx_q = np.asarray(jax.jit(enc_q)(params_q, probe))
+    out = {"quant_encode_index_agreement":
+           round(float((idx_fp == idx_q).mean()), 4)}
+    # decode both paths from the SAME (fp) indices: isolates decoder error
+    # from encoder index flips already counted above
+    dec_in = jnp.asarray(idx_fp)
+    o_fp = np.asarray(jax.jit(dec_fp)(params_fp, dec_in), np.float32)
+    o_q = np.asarray(jax.jit(dec_q)(params_q, dec_in), np.float32)
+    if model == "llamagen_titok":
+        out["quant_decode_logit_argmax_agreement"] = round(
+            float((o_fp.argmax(-1) == o_q.argmax(-1)).mean()), 4)
+    else:
+        mse = float(np.mean((o_fp - o_q) ** 2))
+        out["quant_decode_psnr_db_vs_fp"] = (
+            round(10.0 * np.log10(1.0 / mse), 2) if mse > 0 else float("inf"))
+    return out
 
 
 def _load_config(ckpt_dir: str, tag: str) -> dict:
@@ -130,9 +222,19 @@ def _write_artifacts(out_dir: str, exported: dict, params, manifest: dict):
 
 def export_tokenizer(ckpt_dir: str, out_dir: str, *, model: str = "titok",
                      bs: int = 1, tag: str = "best",
-                     platforms=("cpu", "tpu"), attn_impl: str = "xla"):
-    """Export a trained tokenizer checkpoint's encode/decode to ``out_dir``."""
+                     platforms=("cpu", "tpu"), attn_impl: str = "xla",
+                     quantize: "str | None" = None):
+    """Export a trained tokenizer checkpoint's encode/decode to ``out_dir``.
+
+    ``quantize="int8"`` exports the transformer-block Dense sites as int8 MXU
+    matmuls with dynamic activation quantization (core/quant.py): weights.npz
+    shrinks ~4×, at a ~1% per-matmul quantization error. An export-time probe
+    records the fidelity in the manifest (``quant_encode_index_agreement``,
+    ``quant_decode_psnr_db_vs_fp``) alongside the mode itself. The checkpoint
+    stays fp — quantization happens here, once.
+    """
     _check_symbolic(bs, attn_impl)
+    _check_quantize(quantize, model)
     from vit_tpu.utils.config import dataclass_from_dict
 
     cfg_dict = _load_config(ckpt_dir, tag)
@@ -185,26 +287,24 @@ def export_tokenizer(ckpt_dir: str, out_dir: str, *, model: str = "titok",
     params, step = _restore_params(ckpt_dir, tag, net.init,
                                    (jax.random.PRNGKey(0), init_input))
 
-    if model == "tatitok":
-        if getattr(cfg, "text_guidance", False):
-            raise ValueError(
-                "text-guided TATiTok export is not supported: decode needs a "
-                "(B, ctx, text_dim) guidance tensor per request")
+    fidelity = {}
+    if quantize:
+        # the checkpoint restores against the fp tree above; the exported
+        # executable consumes the int8 twin's tree (kernel_q/scale/bias).
+        # replace (not in-place mutation): the fp net below keeps its own cfg
+        # for the fidelity probe
+        net_fp, params_fp = net, params
+        cfg_q = dataclasses.replace(cfg, quant=quantize)
+        net, params = _quantized_net_params(net_cls, cfg_q, params, init_input)
+        fidelity = _quant_fidelity(model, cfg, _make_codec(net_fp, model),
+                                   params_fp, _make_codec(net, model), params)
 
-        def encode(p, images):
-            # encode returns (z_quantized, result_dict); serve the indices
-            return net.apply({"params": p}, images,
-                             method=net.encode)[1]["min_encoding_indices"]
+    if model == "tatitok" and getattr(cfg, "text_guidance", False):
+        raise ValueError(
+            "text-guided TATiTok export is not supported: decode needs a "
+            "(B, ctx, text_dim) guidance tensor per request")
 
-        def decode(p, indices):
-            return net.apply({"params": p}, indices, method=net.decode_tokens)
-    else:
-        def encode(p, images):
-            return net.apply({"params": p}, images, method=net.encode)
-
-        def decode(p, indices):
-            return net.apply({"params": p}, indices,
-                             method=net.decode_indices)
+    encode, decode = _make_codec(net, model)
 
     params_spec = jax.tree.map(
         lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), params)
@@ -219,16 +319,20 @@ def export_tokenizer(ckpt_dir: str, out_dir: str, *, model: str = "titok",
         "codebook_size": getattr(cfg, "codebook_size", None),
         "indices_dtype": str(idx_dtype),
         "platforms": list(platforms), "attn_impl": attn_impl, "step": step,
+        "quantize": quantize, **fidelity,
     })
 
 
 def export_classifier(ckpt_dir: str, out_dir: str, *, bs: int = 1,
                       tag: str = "best", platforms=("cpu", "tpu"),
-                      attn_impl: str = "xla", num_classes: int | None = None):
+                      attn_impl: str = "xla", num_classes: int | None = None,
+                      quantize: "str | None" = None):
     """Export a trained ViT classifier checkpoint (train_vit.py layout) to a
     ``predict.jaxexport`` (images → logits). ``num_classes`` is read off the
-    checkpointed head kernel's shape when not given."""
+    checkpointed head kernel's shape when not given. ``quantize="int8"`` as
+    in ``export_tokenizer``."""
     _check_symbolic(bs, attn_impl)
+    _check_quantize(quantize)
     from vit_tpu.models.vit import ViTClassifier, ViTConfig
     from vit_tpu.utils.config import dataclass_from_dict
 
@@ -249,6 +353,12 @@ def export_classifier(ckpt_dir: str, out_dir: str, *, bs: int = 1,
         (jax.random.PRNGKey(0),
          jnp.zeros((1, cfg.image_size, cfg.image_size, cfg.in_channels))))
 
+    if quantize:
+        cfg_q = dataclasses.replace(cfg, quant=quantize)
+        net, params = _quantized_net_params(
+            lambda c: ViTClassifier(c, num_classes=num_classes), cfg_q, params,
+            jnp.zeros((1, cfg.image_size, cfg.image_size, cfg.in_channels)))
+
     def predict(p, images):
         return net.apply({"params": p}, images, deterministic=True)
 
@@ -263,13 +373,15 @@ def export_classifier(ckpt_dir: str, out_dir: str, *, bs: int = 1,
         "model": "vit_classifier", "bs": bs, "tag": tag,
         "image_size": cfg.image_size, "num_classes": num_classes,
         "platforms": list(platforms), "attn_impl": attn_impl, "step": step,
+        "quantize": quantize,
     })
 
 
 def export_videogpt(ckpt_dir: str, out_dir: str, *, cond_frames: int = 8,
                     gen_frames: int = 8, bs: int = 1, tag: str = "best",
                     platforms=("cpu", "tpu"), attn_impl: str = "xla",
-                    temperature: float = 0.0, top_k: "int | None" = None):
+                    temperature: float = 0.0, top_k: "int | None" = None,
+                    quantize: "str | None" = None):
     """Export a trained VideoGPT AR prior (train_videogpt.py layout) to a
     ``generate.jaxexport``: conditioning codes (B, cond_frames*frame_size) i32
     → full rollout (B, (cond_frames+gen_frames)*frame_size) i32.
@@ -284,6 +396,7 @@ def export_videogpt(ckpt_dir: str, out_dir: str, *, cond_frames: int = 8,
     server can't serve that form; call the artifact directly).
     """
     _check_symbolic(bs, attn_impl)
+    _check_quantize(quantize)
     from vit_tpu.models.videogpt import VideoGPT, VideoGPTConfig, generate
     from vit_tpu.utils.config import dataclass_from_dict
 
@@ -301,6 +414,12 @@ def export_videogpt(ckpt_dir: str, out_dir: str, *, cond_frames: int = 8,
         ckpt_dir, tag, net.init,
         (jax.random.PRNGKey(0),
          jnp.zeros((1, cond_frames, cfg.frame_size), jnp.int32)))
+
+    if quantize:
+        cfg_q = dataclasses.replace(cfg, quant=quantize)
+        net, params = _quantized_net_params(
+            VideoGPT, cfg_q, params,
+            jnp.zeros((1, cond_frames, cfg.frame_size), jnp.int32))
 
     params_spec = jax.tree.map(
         lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), params)
@@ -325,6 +444,7 @@ def export_videogpt(ckpt_dir: str, out_dir: str, *, cond_frames: int = 8,
         "cond_frames": cond_frames, "gen_frames": gen_frames,
         "temperature": temperature, "top_k": top_k,
         "platforms": list(platforms), "attn_impl": attn_impl, "step": step,
+        "quantize": quantize,
     })
 
 
