@@ -50,13 +50,38 @@ def main():
                     help="int8: export the transformer Dense sites as MXU "
                     "int8 matmuls (4x smaller weights, 2x int8 peak on v5e; "
                     "~1%% per-matmul quantization error)")
+    ap.add_argument("--dp", type=int, default=1,
+                    help="data-parallel serving: lower the artifact over a "
+                    "dp-device ('data',) mesh — each request's batch is "
+                    "partitioned across dp chips (bs %% dp == 0). The "
+                    "artifact then REQUIRES dp devices at serve time.")
+    ap.add_argument("--dp_host_cpu", action="store_true",
+                    help="trace the --dp export over dp VIRTUAL CPU devices "
+                    "(for export hosts with fewer than dp real chips; the "
+                    "artifact still targets --platforms). Implies the xla "
+                    "attention path.")
     args = ap.parse_args()
+
+    if args.dp_host_cpu:
+        # must precede any backend initialization; the env var alone is read
+        # too late because sitecustomize imports jax at interpreter startup
+        import os
+
+        import jax
+
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags +
+                f" --xla_force_host_platform_device_count={args.dp}").strip()
+        jax.config.update("jax_platforms", "cpu")
 
     from vit_tpu.serve.export import (export_classifier, export_tokenizer,
                                       export_videogpt)
 
     common = dict(bs=args.bs, tag=args.tag, platforms=tuple(args.platforms),
-                  attn_impl=args.attn_impl, quantize=args.quantize)
+                  attn_impl=args.attn_impl, quantize=args.quantize,
+                  dp=args.dp)
     if args.model in TOKENIZERS:
         out = export_tokenizer(args.ckpt, args.out, model=args.model, **common)
     elif args.model == "vit_classifier":

@@ -138,6 +138,14 @@ def nearest_code(z: jax.Array, codebook: jax.Array, *,
     Forward-only (indices carry no gradient); the straight-through estimator lives in
     the quantizer module (vit_tpu/quantize/vq.py).
     """
+    if impl is None:
+        # scoped override: data-parallel serving exports force "xla" here —
+        # the custom_partitioning wrapper below registers compile-time Python
+        # callbacks that jax.export cannot serialize under a sharded jit
+        # (serve/export.py:export_fn)
+        import os
+
+        impl = os.environ.get("VIT_TPU_VQ_IMPL") or None
     batch_shape = z.shape[:-1]
     d = z.shape[-1]
     c = codebook.shape[0]

@@ -32,6 +32,14 @@ to the XLA path so one artifact can carry multiple lowering platforms (a
 Pallas custom-call would pin it to TPU — pass platforms=("tpu",) and
 attn_impl="pallas" for a TPU-only artifact with the fused kernels).
 
+``dp > 1`` exports a DATA-PARALLEL artifact: the module is lowered over a
+dp-device ("data",) mesh (params replicated, batch sharded), so one served
+call partitions its batch across dp chips over ICI — multi-chip serving with
+zero collectives in the graph. ``load_exported`` rebuilds the mesh from the
+serving host's devices automatically. Trace-time needs dp visible devices
+(``--dp_host_cpu`` virtualizes them on a CPU host; the artifact still targets
+``--platforms``).
+
 CLI: ``python scripts/export_tokenizer.py --ckpt <dir> --out <dir> --bs 8``.
 """
 
@@ -46,9 +54,68 @@ import jax.numpy as jnp
 from jax import export as jex
 
 
-def export_fn(fn, args_spec, platforms=("cpu", "tpu")):
-    """Export a jittable fn at the given ShapeDtypeStruct spec(s)."""
-    return jex.export(jax.jit(fn), platforms=list(platforms))(*args_spec)
+def export_fn(fn, args_spec, platforms=("cpu", "tpu"), *, dp: int = 1):
+    """Export a jittable fn at the given ShapeDtypeStruct spec(s).
+
+    ``dp > 1`` lowers over a dp-device 1-D ``("data",)`` mesh — params
+    (``args_spec[0]``) replicated, every other arg sharded on its leading
+    axis (scalars replicated), outputs batch-sharded. The export host must
+    expose ``dp`` devices of its default backend at trace time (a CPU host
+    can virtualize them — ``scripts/export_tokenizer.py --dp_host_cpu``);
+    the artifact then requires ``dp`` devices wherever it is served and XLA
+    partitions each request's batch across them over ICI.
+    """
+    if dp <= 1:
+        return jex.export(jax.jit(fn), platforms=list(platforms))(*args_spec)
+    import os
+
+    import numpy as np
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+    devs = jax.devices()
+    if len(devs) < dp:
+        raise ValueError(
+            f"dp={dp} export needs {dp} visible devices at trace time; this "
+            f"host exposes {len(devs)} ({jax.default_backend()}). On a "
+            "single-device host, trace over virtual CPU devices "
+            "(scripts/export_tokenizer.py --dp_host_cpu) — the lowering "
+            "platforms are independent of the trace host.")
+    mesh = Mesh(np.array(devs[:dp]), ("data",))
+    rep = NamedSharding(mesh, PartitionSpec())
+    shd = NamedSharding(mesh, PartitionSpec("data"))
+    in_sh = (rep,) + tuple(shd if s.ndim else rep for s in args_spec[1:])
+    jf = jax.jit(fn, in_shardings=in_sh, out_shardings=shd)
+    # custom_partitioning wrappers (the fused VQ lookup's GSPMD rule) register
+    # compile-time Python callbacks that jax.export cannot serialize under a
+    # sharded jit ("serialization of host_callbacks is not yet implemented");
+    # scope the XLA-oracle VQ path over the trace. The XLA lookup partitions
+    # under GSPMD natively — same math, tested parity (tests/test_vq.py).
+    prev = os.environ.get("VIT_TPU_VQ_IMPL")
+    os.environ["VIT_TPU_VQ_IMPL"] = "xla"
+    try:
+        return jex.export(jf, platforms=list(platforms))(*args_spec)
+    finally:
+        if prev is None:
+            os.environ.pop("VIT_TPU_VQ_IMPL", None)
+        else:
+            os.environ["VIT_TPU_VQ_IMPL"] = prev
+
+
+def _check_dp(dp: int, bs: int, attn_impl: str = "xla") -> None:
+    if dp < 1:
+        raise ValueError(f"dp must be >= 1, got {dp}")
+    if dp > 1 and bs == 0:
+        raise ValueError(
+            "dp > 1 requires a fixed batch size: a symbolic batch dim "
+            "cannot be statically sharded across the data mesh")
+    if dp > 1 and bs % dp:
+        raise ValueError(f"batch size {bs} is not divisible by dp={dp}")
+    if dp > 1 and attn_impl == "pallas":
+        raise ValueError(
+            "dp > 1 requires attn_impl='xla': the Pallas attention's "
+            "custom_partitioning GSPMD rule is a compile-time Python "
+            "callback, which jax.export cannot serialize under a sharded "
+            "jit")
 
 
 def _batch_dim(bs: int):
@@ -223,7 +290,7 @@ def _write_artifacts(out_dir: str, exported: dict, params, manifest: dict):
 def export_tokenizer(ckpt_dir: str, out_dir: str, *, model: str = "titok",
                      bs: int = 1, tag: str = "best",
                      platforms=("cpu", "tpu"), attn_impl: str = "xla",
-                     quantize: "str | None" = None):
+                     quantize: "str | None" = None, dp: int = 1):
     """Export a trained tokenizer checkpoint's encode/decode to ``out_dir``.
 
     ``quantize="int8"`` exports the transformer-block Dense sites as int8 MXU
@@ -235,6 +302,7 @@ def export_tokenizer(ckpt_dir: str, out_dir: str, *, model: str = "titok",
     """
     _check_symbolic(bs, attn_impl)
     _check_quantize(quantize, model)
+    _check_dp(dp, bs, attn_impl)
     from vit_tpu.utils.config import dataclass_from_dict
 
     cfg_dict = _load_config(ckpt_dir, tag)
@@ -308,10 +376,10 @@ def export_tokenizer(ckpt_dir: str, out_dir: str, *, model: str = "titok",
 
     params_spec = jax.tree.map(
         lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), params)
-    enc = export_fn(encode, (params_spec, in_spec), platforms)
+    enc = export_fn(encode, (params_spec, in_spec), platforms, dp=dp)
     idx_dtype = enc.out_avals[0].dtype
     idx_spec = jax.ShapeDtypeStruct((bdim, n_tokens), idx_dtype)
-    dec = export_fn(decode, (params_spec, idx_spec), platforms)
+    dec = export_fn(decode, (params_spec, idx_spec), platforms, dp=dp)
 
     return _write_artifacts(out_dir, {"encode": enc, "decode": dec}, params, {
         "model": model, "bs": bs, "tag": tag, **input_desc,
@@ -319,20 +387,21 @@ def export_tokenizer(ckpt_dir: str, out_dir: str, *, model: str = "titok",
         "codebook_size": getattr(cfg, "codebook_size", None),
         "indices_dtype": str(idx_dtype),
         "platforms": list(platforms), "attn_impl": attn_impl, "step": step,
-        "quantize": quantize, **fidelity,
+        "quantize": quantize, "dp": dp, **fidelity,
     })
 
 
 def export_classifier(ckpt_dir: str, out_dir: str, *, bs: int = 1,
                       tag: str = "best", platforms=("cpu", "tpu"),
                       attn_impl: str = "xla", num_classes: int | None = None,
-                      quantize: "str | None" = None):
+                      quantize: "str | None" = None, dp: int = 1):
     """Export a trained ViT classifier checkpoint (train_vit.py layout) to a
     ``predict.jaxexport`` (images → logits). ``num_classes`` is read off the
     checkpointed head kernel's shape when not given. ``quantize="int8"`` as
     in ``export_tokenizer``."""
     _check_symbolic(bs, attn_impl)
     _check_quantize(quantize)
+    _check_dp(dp, bs, attn_impl)
     from vit_tpu.models.vit import ViTClassifier, ViTConfig
     from vit_tpu.utils.config import dataclass_from_dict
 
@@ -367,13 +436,13 @@ def export_classifier(ckpt_dir: str, out_dir: str, *, bs: int = 1,
     img_spec = jax.ShapeDtypeStruct(
         (_batch_dim(bs), cfg.image_size, cfg.image_size, cfg.in_channels),
         jnp.float32)
-    pred = export_fn(predict, (params_spec, img_spec), platforms)
+    pred = export_fn(predict, (params_spec, img_spec), platforms, dp=dp)
 
     return _write_artifacts(out_dir, {"predict": pred}, params, {
         "model": "vit_classifier", "bs": bs, "tag": tag,
         "image_size": cfg.image_size, "num_classes": num_classes,
         "platforms": list(platforms), "attn_impl": attn_impl, "step": step,
-        "quantize": quantize,
+        "quantize": quantize, "dp": dp,
     })
 
 
@@ -381,7 +450,7 @@ def export_videogpt(ckpt_dir: str, out_dir: str, *, cond_frames: int = 8,
                     gen_frames: int = 8, bs: int = 1, tag: str = "best",
                     platforms=("cpu", "tpu"), attn_impl: str = "xla",
                     temperature: float = 0.0, top_k: "int | None" = None,
-                    quantize: "str | None" = None):
+                    quantize: "str | None" = None, dp: int = 1):
     """Export a trained VideoGPT AR prior (train_videogpt.py layout) to a
     ``generate.jaxexport``: conditioning codes (B, cond_frames*frame_size) i32
     → full rollout (B, (cond_frames+gen_frames)*frame_size) i32.
@@ -397,6 +466,7 @@ def export_videogpt(ckpt_dir: str, out_dir: str, *, cond_frames: int = 8,
     """
     _check_symbolic(bs, attn_impl)
     _check_quantize(quantize)
+    _check_dp(dp, bs, attn_impl)
     from vit_tpu.models.videogpt import VideoGPT, VideoGPTConfig, generate
     from vit_tpu.utils.config import dataclass_from_dict
 
@@ -430,12 +500,14 @@ def export_videogpt(ckpt_dir: str, out_dir: str, *, cond_frames: int = 8,
                             top_k=top_k, rng=jax.random.PRNGKey(seed))
 
         seed_spec = jax.ShapeDtypeStruct((), jnp.uint32)
-        gen = export_fn(rollout, (params_spec, tok_spec, seed_spec), platforms)
+        gen = export_fn(rollout, (params_spec, tok_spec, seed_spec),
+                        platforms, dp=dp)
     else:
         def rollout(p, tokens):
             return generate(net, p, tokens, n)
 
-        gen = export_fn(rollout, (params_spec, tok_spec), platforms)
+        gen = export_fn(rollout, (params_spec, tok_spec), platforms,
+                        dp=dp)
 
     return _write_artifacts(out_dir, {"generate": gen}, params, {
         "model": "videogpt", "bs": bs, "tag": tag,
@@ -444,7 +516,7 @@ def export_videogpt(ckpt_dir: str, out_dir: str, *, cond_frames: int = 8,
         "cond_frames": cond_frames, "gen_frames": gen_frames,
         "temperature": temperature, "top_k": top_k,
         "platforms": list(platforms), "attn_impl": attn_impl, "step": step,
-        "quantize": quantize,
+        "quantize": quantize, "dp": dp,
     })
 
 
@@ -468,6 +540,25 @@ def load_exported(out_dir: str):
             node[parts[-1]] = jnp.asarray(npz[key])
 
     n_param_avals = len(jax.tree_util.tree_leaves(params))
+    dp_state: dict = {}  # nr_devices -> (batch_sharding, replicated, params)
+
+    def _dp_layout(nr: int):
+        # dp artifacts: rebuild the ("data",) mesh the module was lowered
+        # over and pin params to it replicated, once per artifact dir
+        if nr not in dp_state:
+            from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+            devs = jax.devices()
+            if len(devs) < nr:
+                raise ValueError(
+                    f"artifact was exported for dp={nr} data-parallel "
+                    f"devices; this host exposes {len(devs)} "
+                    f"({jax.default_backend()})")
+            mesh = Mesh(np.array(devs[:nr]), ("data",))
+            rep = NamedSharding(mesh, PartitionSpec())
+            dp_state[nr] = (NamedSharding(mesh, PartitionSpec("data")), rep,
+                            jax.device_put(params, rep))
+        return dp_state[nr]
 
     def make_call(exp):
         # jit the exported call so repeated requests hit the executable cache
@@ -475,7 +566,18 @@ def load_exported(out_dir: str):
         # overhead on CPU); symbolic-batch artifacts compile once per distinct
         # request size, exactly as documented
         f = jax.jit(exp.call)
-        return lambda *a: f(params, *a)
+        if exp.nr_devices == 1:
+            return lambda *a: f(params, *a)
+        shd, rep, params_dp = _dp_layout(exp.nr_devices)
+
+        def call(*a):
+            # committed sharded inputs give the jitted module its device
+            # context; the batch axis splits across the mesh, scalars (a
+            # sampled generate's seed) replicate
+            a = [jax.device_put(jnp.asarray(x), shd if jnp.ndim(x) else rep)
+                 for x in a]
+            return f(params_dp, *a)
+        return call
 
     served = {"manifest": manifest, "_in_avals": {}}
     for f in sorted(out.glob("*.jaxexport")):

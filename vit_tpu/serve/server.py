@@ -15,6 +15,11 @@ requests larger than bs are rejected (split client-side or export a bigger
 batch). Artifacts exported with ``--bs 0`` have a SYMBOLIC batch dim and
 accept any request size as-is (one XLA compile per distinct size).
 
+``--batch_window_ms W`` turns on cross-request MICRO-BATCHING: concurrent
+requests coalesce for up to W ms into one device call per bs rows (``Batcher``)
+instead of each paying a full fixed-batch call — the standard
+latency-for-throughput knob for production serving under load.
+
 CLI:  python -m vit_tpu.serve.server --dir exported/titok --port 8421 --warmup
 
 Client:
@@ -29,15 +34,96 @@ from __future__ import annotations
 
 import io
 import json
+import queue
+import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
 
 
+class Batcher:
+    """Coalesce concurrent requests into one device call (micro-batching).
+
+    A fixed-batch (bs) executable costs the same whether 1 or bs rows are
+    real — without coalescing, k concurrent 1-row requests pay k full device
+    calls. This worker collects rows across requests for up to ``window_s``
+    (counted from the first request of a flight) or until the flight is full,
+    runs ONE padded call, and scatters the rows back. Request order within a
+    flight is preserved; a request never spans two flights (the server caps
+    request batch at bs). A device-call failure propagates to every request
+    in that flight.
+    """
+
+    def __init__(self, fn, bs: int, window_s: float):
+        self.fn, self.bs, self.window = fn, bs, window_s
+        self.q: "queue.Queue[dict]" = queue.Queue()
+        self.calls = 0  # device calls issued (for tests/metrics)
+        threading.Thread(target=self._run, daemon=True).start()
+
+    def __call__(self, arr: np.ndarray) -> np.ndarray:
+        item = {"arr": arr, "ev": threading.Event()}
+        self.q.put(item)
+        item["ev"].wait()
+        if "err" in item:
+            raise item["err"]
+        return item["out"]
+
+    def _flush(self, flight):
+        rows = np.concatenate([it["arr"] for it in flight], axis=0)
+        try:
+            if rows.shape[0] < self.bs:
+                pad = np.zeros((self.bs - rows.shape[0],) + rows.shape[1:],
+                               rows.dtype)
+                rows = np.concatenate([rows, pad], axis=0)
+            self.calls += 1
+            out = np.asarray(self.fn(rows))
+            off = 0
+            for it in flight:
+                k = it["arr"].shape[0]
+                it["out"] = out[off:off + k]
+                off += k
+        except Exception as e:  # propagate to every waiter in the flight
+            for it in flight:
+                it["err"] = e
+        finally:
+            for it in flight:
+                it["ev"].set()
+
+    def _run(self):
+        carry = None
+        while True:
+            first = carry if carry is not None else self.q.get()
+            carry = None
+            flight, rows = [first], first["arr"].shape[0]
+            deadline = time.monotonic() + self.window
+            while rows < self.bs:
+                timeout = deadline - time.monotonic()
+                if timeout <= 0:
+                    break
+                try:
+                    nxt = self.q.get(timeout=timeout)
+                except queue.Empty:
+                    break
+                if rows + nxt["arr"].shape[0] > self.bs:
+                    carry = nxt  # doesn't fit: opens the next flight
+                    break
+                flight.append(nxt)
+                rows += nxt["arr"].shape[0]
+            self._flush(flight)
+
+
 def make_server(export_dir: str, host: str = "127.0.0.1", port: int = 8421,
-                warmup: bool = False) -> ThreadingHTTPServer:
+                warmup: bool = False,
+                batch_window_ms: float = 0.0) -> ThreadingHTTPServer:
     """Build (not start) a ThreadingHTTPServer bound to the export dir.
-    Call ``.serve_forever()`` on the result; ``.shutdown()`` stops it."""
+    Call ``.serve_forever()`` on the result; ``.shutdown()`` stops it.
+
+    ``batch_window_ms > 0`` enables cross-request micro-batching (`Batcher`)
+    on fixed-batch artifacts: concurrent requests coalesce into one device
+    call per ``bs`` rows, at up to that much added latency for a lone
+    request. Symbolic-batch (bs=0) artifacts ignore it — each request
+    already runs at its own size."""
     from vit_tpu.serve.export import load_exported
 
     served = load_exported(export_dir)
@@ -49,6 +135,9 @@ def make_server(export_dir: str, host: str = "127.0.0.1", port: int = 8421,
     fns = {k: v for k, v in served.items()
            if k not in ("manifest", "_in_avals") and len(avals[k]) == 1}
     bs = int(manifest["bs"])
+    batchers = ({k: Batcher(v, bs, batch_window_ms / 1e3)
+                 for k, v in fns.items()}
+                if batch_window_ms > 0 and bs else None)
 
     if warmup:
         # trigger each executable's device compile before the first request
@@ -105,7 +194,9 @@ def make_server(export_dir: str, host: str = "127.0.0.1", port: int = 8421,
                 if bs and k > bs:
                     raise ValueError(
                         f"batch {k} > exported bs {bs}; split the request")
-                if bs and k < bs:
+                if batchers is None and bs and k < bs:
+                    # no micro-batching: pad this request up to bs here
+                    # (the Batcher pads whole flights itself)
                     pad = np.zeros((bs - k,) + arr.shape[1:], arr.dtype)
                     arr = np.concatenate([arr, pad], axis=0)
             except Exception as e:
@@ -114,7 +205,8 @@ def make_server(export_dir: str, host: str = "127.0.0.1", port: int = 8421,
                 return
             try:  # execution faults (compile/OOM/dtype plumbing) → 500,
                   # so retry policies don't misattribute them to the caller
-                result = np.asarray(fn(arr))[:k]
+                call = batchers[name] if batchers else fn
+                result = np.asarray(call(arr))[:k]
                 buf = io.BytesIO()
                 np.save(buf, result)
                 self._reply(200, buf.getvalue(), "application/octet-stream")
@@ -134,9 +226,14 @@ def main(argv=None):
     ap.add_argument("--port", type=int, default=8421)
     ap.add_argument("--warmup", action="store_true",
                     help="compile every fn before accepting requests")
+    ap.add_argument("--batch_window_ms", type=float, default=0.0,
+                    help="micro-batching: coalesce concurrent requests for "
+                    "up to this long into one device call per exported-bs "
+                    "rows (0 = off; fixed-batch artifacts only)")
     args = ap.parse_args(argv)
 
-    srv = make_server(args.dir, args.host, args.port, warmup=args.warmup)
+    srv = make_server(args.dir, args.host, args.port, warmup=args.warmup,
+                      batch_window_ms=args.batch_window_ms)
     print(f"serving {args.dir} on http://{args.host}:{args.port} "
           f"(POST .npy to /<fn>)", flush=True)
     try:
