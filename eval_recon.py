@@ -56,9 +56,17 @@ def load_model(args):
         jax.random.PRNGKey(0),
         jnp.zeros((1, cfg.image_size, cfg.image_size, 3)))["params"]
     tx = make_optimizer(1e-4, 1, 10, 1e-5, 0.0)
-    state = Checkpointer(args.ckpt).restore(TrainState.create(params, tx),
-                                            tag=args.tag)
-    return model, state.params, cfg
+    use_ema = getattr(args, "use_ema", False)
+    if use_ema:
+        from vit_tpu.train.checkpoint import has_ema
+
+        if not has_ema(args.ckpt, args.tag):
+            raise ValueError(f"--use_ema: checkpoint {args.ckpt}/{args.tag} "
+                             "holds no EMA average (train with --ema_decay)")
+    state = Checkpointer(args.ckpt).restore(
+        TrainState.create(params, tx, ema_decay=1.0 if use_ema else 0.0),
+        tag=args.tag)
+    return model, (state.ema_params if use_ema else state.params), cfg
 
 
 def main():
@@ -69,6 +77,8 @@ def main():
     parser.add_argument('--model', type=str, default='titok',
                         choices=['titok', 'vit_vqgan', 'tatitok'])
     parser.add_argument('--tag', type=str, default='best')
+    parser.add_argument('--use_ema', action='store_true',
+                        help='eval the EMA weight average (--ema_decay runs)')
     parser.add_argument('--dataset', type=str, default='synthetic',
                         choices=['synthetic', 'imagenet', 'dmlab', 'minecraft'])
     parser.add_argument('--data_dir', type=str, default=None)

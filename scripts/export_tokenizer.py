@@ -55,6 +55,9 @@ def main():
                     "dp-device ('data',) mesh — each request's batch is "
                     "partitioned across dp chips (bs %% dp == 0). The "
                     "artifact then REQUIRES dp devices at serve time.")
+    ap.add_argument("--use_ema", action="store_true",
+                    help="export the EMA weight average (checkpoints from "
+                    "--ema_decay runs) instead of the live params")
     ap.add_argument("--dp_host_cpu", action="store_true",
                     help="trace the --dp export over dp VIRTUAL CPU devices "
                     "(for export hosts with fewer than dp real chips; the "
@@ -81,7 +84,7 @@ def main():
 
     common = dict(bs=args.bs, tag=args.tag, platforms=tuple(args.platforms),
                   attn_impl=args.attn_impl, quantize=args.quantize,
-                  dp=args.dp)
+                  dp=args.dp, use_ema=args.use_ema)
     if args.model in TOKENIZERS:
         out = export_tokenizer(args.ckpt, args.out, model=args.model, **common)
     elif args.model == "vit_classifier":

@@ -56,6 +56,10 @@ def parse_args():
                              'driver multi-chip dryrun; None = preset depth)')
     parser.add_argument('--ckpt_dir', type=str, default='titok_models')
     parser.add_argument('--resume', action='store_true')
+    parser.add_argument('--ema_decay', type=float, default=0.0,
+                        help='Polyak/EMA weight averaging (e.g. 0.999); the '
+                        'average rides the checkpoint and can be evaled/'
+                        'exported with --use_ema / ema=True')
     parser.add_argument('--log_every', type=int, default=100)
     parser.add_argument('--ckpt_every', type=int, default=250,
                         help='min steps between full checkpoint saves (saves move GBs device->host; decoupled from --log_every)')

@@ -243,7 +243,8 @@ def _load_config(ckpt_dir: str, tag: str) -> dict:
     return json.loads((Path(ckpt_dir) / f"{tag}_config.json").read_text())
 
 
-def _restore_params(ckpt_dir: str, tag: str, init_fn, init_args):
+def _restore_params(ckpt_dir: str, tag: str, init_fn, init_args,
+                    use_ema: bool = False):
     """Restore a checkpoint's params against an abstract template.
 
     orbax restores against ShapeDtypeStructs, so the model is never
@@ -252,19 +253,27 @@ def _restore_params(ckpt_dir: str, tag: str, init_fn, init_args):
     checkpoint may have been written on different hardware (e.g. trained on
     TPU, exported on a CPU host) and orbax refuses a sharding-less
     cross-topology restore.
+
+    ``use_ema=True`` returns the EMA weight average (``--ema_decay`` runs)
+    instead of the live params; rejected if the checkpoint holds none.
     """
-    from vit_tpu.train.checkpoint import Checkpointer
+    from vit_tpu.train.checkpoint import Checkpointer, has_ema
     from vit_tpu.train.optim import make_optimizer
     from vit_tpu.train.state import TrainState
 
+    if use_ema and not has_ema(ckpt_dir, tag):
+        raise ValueError(
+            f"use_ema: checkpoint {ckpt_dir}/{tag} holds no EMA average "
+            "(train with --ema_decay to write one)")
     params_abs = jax.eval_shape(init_fn, *init_args)["params"]
     tx = make_optimizer(1e-4, 1, 10, 1e-5, 0.0)
     here = jax.sharding.SingleDeviceSharding(jax.local_devices()[0])
     state_abs = jax.tree.map(
         lambda s: jax.ShapeDtypeStruct(s.shape, s.dtype, sharding=here),
-        jax.eval_shape(lambda p: TrainState.create(p, tx), params_abs))
+        jax.eval_shape(lambda p: TrainState.create(
+            p, tx, ema_decay=1.0 if use_ema else 0.0), params_abs))
     state = Checkpointer(ckpt_dir).restore(state_abs, tag=tag)
-    return state.params, int(state.step)
+    return (state.ema_params if use_ema else state.params), int(state.step)
 
 
 def _write_artifacts(out_dir: str, exported: dict, params, manifest: dict):
@@ -290,7 +299,8 @@ def _write_artifacts(out_dir: str, exported: dict, params, manifest: dict):
 def export_tokenizer(ckpt_dir: str, out_dir: str, *, model: str = "titok",
                      bs: int = 1, tag: str = "best",
                      platforms=("cpu", "tpu"), attn_impl: str = "xla",
-                     quantize: "str | None" = None, dp: int = 1):
+                     quantize: "str | None" = None, dp: int = 1,
+                     use_ema: bool = False):
     """Export a trained tokenizer checkpoint's encode/decode to ``out_dir``.
 
     ``quantize="int8"`` exports the transformer-block Dense sites as int8 MXU
@@ -353,7 +363,8 @@ def export_tokenizer(ckpt_dir: str, out_dir: str, *, model: str = "titok",
         input_desc = {"input": "images", "image_size": cfg.image_size}
 
     params, step = _restore_params(ckpt_dir, tag, net.init,
-                                   (jax.random.PRNGKey(0), init_input))
+                                   (jax.random.PRNGKey(0), init_input),
+                                   use_ema=use_ema)
 
     fidelity = {}
     if quantize:
@@ -387,14 +398,15 @@ def export_tokenizer(ckpt_dir: str, out_dir: str, *, model: str = "titok",
         "codebook_size": getattr(cfg, "codebook_size", None),
         "indices_dtype": str(idx_dtype),
         "platforms": list(platforms), "attn_impl": attn_impl, "step": step,
-        "quantize": quantize, "dp": dp, **fidelity,
+        "quantize": quantize, "dp": dp, "use_ema": use_ema, **fidelity,
     })
 
 
 def export_classifier(ckpt_dir: str, out_dir: str, *, bs: int = 1,
                       tag: str = "best", platforms=("cpu", "tpu"),
                       attn_impl: str = "xla", num_classes: int | None = None,
-                      quantize: "str | None" = None, dp: int = 1):
+                      quantize: "str | None" = None, dp: int = 1,
+                      use_ema: bool = False):
     """Export a trained ViT classifier checkpoint (train_vit.py layout) to a
     ``predict.jaxexport`` (images → logits). ``num_classes`` is read off the
     checkpointed head kernel's shape when not given. ``quantize="int8"`` as
@@ -420,7 +432,8 @@ def export_classifier(ckpt_dir: str, out_dir: str, *, bs: int = 1,
     params, step = _restore_params(
         ckpt_dir, tag, net.init,
         (jax.random.PRNGKey(0),
-         jnp.zeros((1, cfg.image_size, cfg.image_size, cfg.in_channels))))
+         jnp.zeros((1, cfg.image_size, cfg.image_size, cfg.in_channels))),
+        use_ema=use_ema)
 
     if quantize:
         cfg_q = dataclasses.replace(cfg, quant=quantize)
@@ -442,7 +455,7 @@ def export_classifier(ckpt_dir: str, out_dir: str, *, bs: int = 1,
         "model": "vit_classifier", "bs": bs, "tag": tag,
         "image_size": cfg.image_size, "num_classes": num_classes,
         "platforms": list(platforms), "attn_impl": attn_impl, "step": step,
-        "quantize": quantize, "dp": dp,
+        "quantize": quantize, "dp": dp, "use_ema": use_ema,
     })
 
 
@@ -450,7 +463,8 @@ def export_videogpt(ckpt_dir: str, out_dir: str, *, cond_frames: int = 8,
                     gen_frames: int = 8, bs: int = 1, tag: str = "best",
                     platforms=("cpu", "tpu"), attn_impl: str = "xla",
                     temperature: float = 0.0, top_k: "int | None" = None,
-                    quantize: "str | None" = None, dp: int = 1):
+                    quantize: "str | None" = None, dp: int = 1,
+                    use_ema: bool = False):
     """Export a trained VideoGPT AR prior (train_videogpt.py layout) to a
     ``generate.jaxexport``: conditioning codes (B, cond_frames*frame_size) i32
     → full rollout (B, (cond_frames+gen_frames)*frame_size) i32.
@@ -483,7 +497,8 @@ def export_videogpt(ckpt_dir: str, out_dir: str, *, cond_frames: int = 8,
     params, step = _restore_params(
         ckpt_dir, tag, net.init,
         (jax.random.PRNGKey(0),
-         jnp.zeros((1, cond_frames, cfg.frame_size), jnp.int32)))
+         jnp.zeros((1, cond_frames, cfg.frame_size), jnp.int32)),
+        use_ema=use_ema)
 
     if quantize:
         cfg_q = dataclasses.replace(cfg, quant=quantize)
@@ -516,7 +531,7 @@ def export_videogpt(ckpt_dir: str, out_dir: str, *, cond_frames: int = 8,
         "cond_frames": cond_frames, "gen_frames": gen_frames,
         "temperature": temperature, "top_k": top_k,
         "platforms": list(platforms), "attn_impl": attn_impl, "step": step,
-        "quantize": quantize, "dp": dp,
+        "quantize": quantize, "dp": dp, "use_ema": use_ema,
     })
 
 

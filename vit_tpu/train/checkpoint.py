@@ -98,6 +98,10 @@ class Checkpointer:
         path = self.directory / f".{tag}.tmp"
         tree = {"step": state.step, "params": state.params,
                 "opt_state": state.opt_state}
+        if state.ema_params is not None:
+            # only when EMA is on: checkpoints without it keep the exact
+            # pre-EMA tree (old checkpoints stay restorable either way)
+            tree["ema_params"] = state.ema_params
         multihost = jax.process_count() > 1
         proc0 = jax.process_index() == 0
         self._ckptr.wait_until_finished()  # serialize with the previous save
@@ -135,28 +139,63 @@ class Checkpointer:
         path = self.directory / tag
         tree = {"step": state_template.step, "params": state_template.params,
                 "opt_state": state_template.opt_state}
-        restored = self._ckptr.restore(path, tree)
+        want_ema = state_template.ema_params is not None
+        if want_ema:
+            tree["ema_params"] = state_template.ema_params
+        try:
+            restored = self._ckptr.restore(path, tree)
+        except Exception:
+            if not want_ema:
+                raise
+            # resuming an --ema_decay run from a pre-EMA checkpoint: restore
+            # without the ema subtree and re-seed the average from the
+            # restored params (the same seeding TrainState.create does)
+            del tree["ema_params"]
+            restored = self._ckptr.restore(path, tree)
+            import jax.numpy as jnp
+
+            # real copies: ema and params may both be donated by the step
+            restored["ema_params"] = jax.tree.map(jnp.array,
+                                                  restored["params"])
         meta_path = self.directory / f"{tag}_meta.json"
         if meta_path.exists():
             self.best = json.loads(meta_path.read_text()).get("best")
-        return state_template.replace(step=restored["step"],
-                                      params=restored["params"],
-                                      opt_state=restored["opt_state"])
+        return state_template.replace(
+            step=restored["step"], params=restored["params"],
+            opt_state=restored["opt_state"],
+            ema_params=restored["ema_params"] if want_ema else None)
 
     def can_restore(self, tag: str = "last") -> bool:
         return (self.directory / tag).exists()
 
 
-def load_params(directory: str, tag: Optional[str] = None):
+def load_params(directory: str, tag: Optional[str] = None, *,
+                ema: bool = False):
     """Restore just the ``params`` tree from a checkpoint dir, no state template
     needed (orbax reconstructs the structure from its saved metadata). Used by
     cross-script hand-offs — e.g. ``train_vit.py --init_from <mae_ckpt>`` loading a
     pretrained MAE encoder for fine-tuning. ``tag=None`` prefers ``best`` over
-    ``last``."""
+    ``last``. ``ema=True`` returns the EMA weight average instead (requires a
+    checkpoint written by an ``--ema_decay`` run)."""
     d = Path(directory).absolute()
     if tag is None:
         tag = "best" if (d / "best").exists() else "last"
     if not (d / tag).exists():
         raise FileNotFoundError(f"no '{tag}' checkpoint under {d}")
     restored = ocp.StandardCheckpointer().restore(d / tag)
+    if ema:
+        if "ema_params" not in restored:
+            raise ValueError(
+                f"checkpoint {d / tag} holds no EMA average (train with "
+                "--ema_decay to write one)")
+        return restored["ema_params"]
     return restored["params"]
+
+
+def has_ema(directory: str, tag: str = "best") -> bool:
+    """Whether a checkpoint was written by an ``--ema_decay`` run (holds an
+    ``ema_params`` subtree), read off orbax metadata without a restore."""
+    d = Path(directory).absolute()
+    md = ocp.StandardCheckpointer().metadata(d / tag)
+    tree = md.item_metadata.tree  # StepMetadata → {'params': ..., ...}
+    return "ema_params" in tree

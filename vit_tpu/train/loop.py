@@ -56,7 +56,8 @@ def run_tokenizer_training(args, model, model_config, train_loader, *,
                         args.weight_decay, clip_norm=1.0,
                         mu_dtype=getattr(args, "adam_mu_dtype", None)
                         or "bfloat16")
-    state = TrainState.create(params, tx)
+    state = TrainState.create(params, tx,
+                              ema_decay=getattr(args, "ema_decay", 0.0))
 
     ckpt = Checkpointer(args.ckpt_dir, mode="min")
     if getattr(args, "resume", False) and ckpt.can_restore():
