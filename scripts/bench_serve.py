@@ -87,6 +87,12 @@ def main():
                     help="export the artifact with int8 MXU matmuls")
     ap.add_argument("--http", action="store_true",
                     help="also measure npy-over-HTTP round-trip latency")
+    ap.add_argument("--http_clients", type=int, default=0,
+                    help="N concurrent 1-row HTTP clients: measures req/s "
+                    "with micro-batching (--batch_window_ms, default 10) vs "
+                    "without, reporting the coalescing speedup")
+    ap.add_argument("--batch_window_ms", type=float, default=None,
+                    help="micro-batching window for --http_clients")
     ap.add_argument("--device_resident", action="store_true",
                     help="keep inputs on device and fetch only a 1-element "
                     "barrier: isolates on-chip latency from host<->device "
@@ -161,6 +167,55 @@ def main():
                               "value": round(lat * 1e3, 2), "unit": "ms",
                               "bs": int(payload.shape[0])}))
         srv.shutdown()
+
+    if args.http_clients:
+        # N concurrent 1-row clients, with and without micro-batching: the
+        # coalescing win is the requests/s ratio (server-side device calls
+        # drop ~N-fold when the window captures a full flight)
+        import io
+        import threading
+        import urllib.request
+
+        from vit_tpu.serve.server import make_server
+
+        def run_clients(window_ms):
+            srv = make_server(out, port=0, warmup=True,
+                              batch_window_ms=window_ms)
+            threading.Thread(target=srv.serve_forever, daemon=True).start()
+            url = f"http://127.0.0.1:{srv.server_address[1]}/encode"
+            buf = io.BytesIO()
+            np.save(buf, images[:1])
+            payload = buf.getvalue()
+
+            def post_loop(n):
+                for _ in range(n):
+                    req = urllib.request.Request(url, data=payload,
+                                                 method="POST")
+                    with urllib.request.urlopen(req) as resp:
+                        resp.read()
+
+            post_loop(1)  # warm
+            per_client = max(args.steps // args.http_clients, 4)
+            threads = [threading.Thread(target=post_loop, args=(per_client,))
+                       for _ in range(args.http_clients)]
+            t0 = time.perf_counter()
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+            dt = time.perf_counter() - t0
+            srv.shutdown()
+            return args.http_clients * per_client / dt
+
+        base = run_clients(0.0)
+        win = args.batch_window_ms or 10.0
+        batched = run_clients(win)
+        print(json.dumps({"metric": "serve_http_bs1_concurrent_req_per_s",
+                          "value": round(batched, 1), "unit": "req/s",
+                          "clients": args.http_clients,
+                          "batch_window_ms": win,
+                          "unbatched_req_per_s": round(base, 1),
+                          "speedup": round(batched / base, 2)}))
 
 
 if __name__ == "__main__":
