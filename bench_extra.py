@@ -104,9 +104,11 @@ def bench_vit_l(bs: int, steps: int):
         "value": round(bs / dt, 2), "unit": "images/sec/chip"}))
 
 
-def bench_videogpt_rollout(steps: int):
+def bench_videogpt_rollout(steps: int, quantize: "str | None" = None):
     """VideoGPT-B greedy rollout: 512 generated tokens on 512 conditioning
-    tokens (KV-cache decode + one-forward prefill)."""
+    tokens (KV-cache decode + one-forward prefill). ``quantize="int8"`` runs
+    the int8 twin (core/quant.py) — bs=1 decode is weight-stream-bound, the
+    regime where the 4x-lighter int8 weights pay off most."""
     from vit_tpu.models.videogpt import VideoGPT, VideoGPTConfig, generate
 
     cfg = VideoGPTConfig(64, 1024, "B", 16, 0.0)
@@ -116,13 +118,26 @@ def bench_videogpt_rollout(steps: int):
     params = jax.jit(model.init)(
         rng, jnp.zeros((1, 2, cfg.frame_size), jnp.int32))["params"]
 
+    if quantize == "int8":
+        import dataclasses
+
+        from vit_tpu.core.quant import quantize_params
+
+        cfg_q = dataclasses.replace(cfg, quant="int8")
+        model = VideoGPT(cfg_q)
+        target = jax.eval_shape(model.init, rng,
+                                jnp.zeros((1, 2, cfg.frame_size),
+                                          jnp.int32))["params"]
+        params = quantize_params(target, params)
+
     def one():
         return generate(model, params, cond, 512)
 
     dt = _timed(one, lambda out: int(jax.device_get(out[0, -1])), steps)
+    q = {"quantize": quantize} if quantize else {}
     print(json.dumps({"metric": "videogpt_b_rollout_tokens_per_sec",
                       "value": round(512 / dt, 1), "unit": "tokens/sec",
-                      "conditioning_tokens": 512}))
+                      "conditioning_tokens": 512, **q}))
 
 
 def main():
@@ -133,6 +148,9 @@ def main():
     parser.add_argument("--steps", type=int, default=10)
     parser.add_argument("--only", type=str, default=None,
                         choices=[None, "vit", "titok", "vitl", "videogpt"])
+    parser.add_argument("--quantize", type=str, default=None,
+                        choices=[None, "int8"],
+                        help="videogpt rollout only: run the int8 twin")
     args = parser.parse_args()
     if args.only in (None, "vit"):
         bench_vit(args.bs, args.steps)
@@ -141,7 +159,8 @@ def main():
     if args.only in (None, "vitl"):
         bench_vit_l(args.bs, args.steps)
     if args.only in (None, "videogpt"):
-        bench_videogpt_rollout(max(3, args.steps // 3))
+        bench_videogpt_rollout(max(3, args.steps // 3),
+                               quantize=args.quantize)
 
 
 if __name__ == "__main__":

@@ -213,6 +213,34 @@ def test_export_quantized_classifier(tmp_path):
     assert _rel(logits_q, live) < 0.05
 
 
+def test_quantized_videogpt_decode_tracks_fp():
+    # the KV-cached decode path (prefill + decode_step) runs through the same
+    # quantized Dense sites; pin the prefill logits and that a full greedy
+    # rollout executes with the int8 tree (AR argmax flips compound, so the
+    # rollout itself is only shape/dtype-checked on a random-init model)
+    from vit_tpu.models.videogpt import VideoGPT, VideoGPTConfig, generate
+
+    cfg = VideoGPTConfig(4, 32, "S", 4, 0.0, dtype=jnp.float32)
+    qcfg = VideoGPTConfig(4, 32, "S", 4, 0.0, dtype=jnp.float32,
+                          quant="int8")
+    model, qmodel = VideoGPT(cfg), VideoGPT(qcfg)
+    rng = jax.random.PRNGKey(0)
+    tokens = jnp.zeros((2, 2, 4), jnp.int32)
+    params = model.init(rng, tokens)["params"]
+    target = jax.eval_shape(qmodel.init, rng, tokens)["params"]
+    qparams = quantize_params(target, params)
+
+    logits, _ = model.apply({"params": params}, tokens)
+    logits_q, _ = qmodel.apply({"params": qparams}, tokens)
+    assert _rel(logits_q, logits) < 0.05
+
+    cond = jax.random.randint(jax.random.PRNGKey(1), (2, 8), 0, 32)
+    roll = generate(qmodel, qparams, cond, 4)
+    assert roll.shape == (2, 12) and roll.dtype == jnp.int32
+    assert (np.asarray(roll) >= 0).all() and (np.asarray(roll) < 32).all()
+    np.testing.assert_array_equal(np.asarray(roll[:, :8]), np.asarray(cond))
+
+
 def test_export_quantize_rejects_enhancing(tmp_path):
     from vit_tpu.serve.export import export_tokenizer
 
