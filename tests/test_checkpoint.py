@@ -102,6 +102,41 @@ def test_bf16_adam_mu_trains_and_checkpoints(tmp_path):
     assert len(r_mus) == len(mus)
 
 
+def test_extra_tree_roundtrip_and_back_compat(tmp_path):
+    """Auxiliary mutable collections (train_tatitok's clustering-EMA vq_stats)
+    ride the checkpoint as an optional "extra" tree; checkpoints written
+    without one still restore when an extra_template is supplied."""
+    extra = {"vq_stats": {"ema_counts": jnp.arange(8.0),
+                          "ema_sums": jnp.ones((8, 4))}}
+    ckpt = Checkpointer(str(tmp_path / "with"), mode="min")
+    ckpt.save(_state(1.0), tag="last", extra=extra)
+    ckpt.finalize()
+    template = jax.tree.map(jnp.zeros_like, extra)
+    restored, r_extra = Checkpointer(str(tmp_path / "with")).restore(
+        _state(0.0), tag="last", extra_template=template)
+    assert int(restored.step) == 0
+    np.testing.assert_array_equal(
+        np.asarray(r_extra["vq_stats"]["ema_counts"]), np.arange(8.0))
+    np.testing.assert_array_equal(
+        np.asarray(r_extra["vq_stats"]["ema_sums"]), np.ones((8, 4)))
+
+    # pre-extra checkpoint + extra_template: restores state, extra is None
+    old = Checkpointer(str(tmp_path / "old"), mode="min")
+    old.save(_state(2.0), tag="last")
+    old.finalize()
+    restored2, r_extra2 = Checkpointer(str(tmp_path / "old")).restore(
+        _state(0.0), tag="last", extra_template=template)
+    np.testing.assert_array_equal(np.asarray(restored2.params["w"]),
+                                  np.full((4, 4), 2.0))
+    assert r_extra2 is None
+
+    # extra-carrying checkpoint restored WITHOUT a template: plain state
+    plain = Checkpointer(str(tmp_path / "with")).restore(_state(0.0),
+                                                         tag="last")
+    np.testing.assert_array_equal(np.asarray(plain.params["w"]),
+                                  np.full((4, 4), 1.0))
+
+
 def test_crash_safe_save_keeps_previous_tag(tmp_path):
     """The async write lands in .{tag}.tmp and is only promoted at a durability
     barrier — a crash mid-save must leave the previous checkpoint restorable."""

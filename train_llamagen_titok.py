@@ -21,6 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
+from vit_tpu.data.resume import resume_stream, set_stream_epoch
 from vit_tpu.models.llamagen_titok import LlamaGenTiTok, LlamaGenTiTokConfig
 from vit_tpu.train.checkpoint import Checkpointer
 from vit_tpu.train.optim import make_optimizer
@@ -123,23 +124,38 @@ def make_code_loader(args):
             img_loader = get_imagenet_loaders(256, args.bs,
                                               data_dir=args.data_dir)[0]
 
-        def gen():
-            for images, _ in img_loader:
-                yield encode(jnp.asarray(images)), None
+        class _CodeStream:
+            """Re-iterable frozen-VQ code stream; `.dataset` exposes the inner
+            image loader so vit_tpu/data/resume.py can rewind its epoch."""
 
-        return gen, decode
+            def __init__(self, dataset):
+                self.dataset = dataset
+
+            def __iter__(self):
+                for images, _ in self.dataset:
+                    yield encode(jnp.asarray(images)), None
+
+        return _CodeStream(img_loader), decode
 
     assert args.dataset == 'synthetic', "--vq_ckpt required for real datasets"
-    rng = np.random.default_rng(args.seed)
 
-    def gen():
-        for _ in range(args.steps_per_epoch):
-            yield jnp.asarray(rng.integers(
-                0, args.vq_codebook_size,
-                (args.bs // args.micro_steps, args.vq_latent_tokens),
-                dtype=np.int32)), None
+    class _SyntheticCodes:
+        """Epoch-keyed synthetic code batches (deterministic per (seed, epoch)
+        like every other loader — resumable via vit_tpu/data/resume.py)."""
 
-    return gen, None
+        def __init__(self):
+            self._epoch = 0
+
+        def __iter__(self):
+            rng = np.random.default_rng((args.seed, self._epoch))
+            self._epoch += 1
+            for _ in range(args.steps_per_epoch):
+                yield jnp.asarray(rng.integers(
+                    0, args.vq_codebook_size,
+                    (args.bs // args.micro_steps, args.vq_latent_tokens),
+                    dtype=np.int32)), None
+
+    return _SyntheticCodes(), None
 
 
 def main():
@@ -159,7 +175,7 @@ def main():
     logger = MetricsLogger(project_name, run_name, config=vars(args),
                            use_wandb=not args.no_wandb)
 
-    loader_fn, decode = make_code_loader(args)
+    train_loader, decode = make_code_loader(args)
 
     model = LlamaGenTiTok(config)
     rng = jax.random.PRNGKey(args.seed)
@@ -172,9 +188,16 @@ def main():
     state = TrainState.create(params, tx)
 
     ckpt = Checkpointer(args.ckpt_dir, mode="min")
+    start_epoch, skip0, step0 = 0, 0, 0
     if args.resume and ckpt.can_restore():
         state = ckpt.restore(state)
         print(f"RESUMED at step {int(state.step)}")
+        data_rs = ckpt.load_data_state(int(state.step))
+        if data_rs:  # restore the input-stream position (vit_tpu/data/resume.py)
+            start_epoch, skip0 = int(data_rs["epoch"]), int(data_rs["next_batch"])
+            step0 = int(data_rs.get("consumed", 0))
+            set_stream_epoch(train_loader, start_epoch)
+            print(f"RESUMED data stream at epoch {start_epoch}, batch {skip0}")
 
     def _train_step(state, codes, usage):
         def loss_fn(params):
@@ -206,13 +229,18 @@ def main():
 
     print(f"STATS: enc_params={params_str(state.params)}")
 
+    from vit_tpu.train.preempt import GracefulShutdown
+
+    shutdown = GracefulShutdown.install()
     best_recon = float('inf')
     usage = jnp.zeros((config.codebook_size,), jnp.float32)
-    step = 0
+    step = step0
     prev_loss = None
-    for epoch in range(args.epochs):
+    for epoch in range(start_epoch, args.epochs):
+        skip = skip0 if epoch == start_epoch else 0
         st = time.time()
-        for codes, _ in loader_fn():
+        for i, (codes, _) in enumerate(resume_stream(train_loader, skip),
+                                       start=skip):
             if runner is not None:
                 codes = runner.put_batch(codes)
             load_time = time.time() - st
@@ -239,6 +267,12 @@ def main():
                 if host["train/recon_loss"] < best_recon:
                     best_recon = host["train/recon_loss"]
                     ckpt.save_if_best(state, host["train/recon_loss"], config=config)
+                    # rolling "last" + input-stream position: crash recovery
+                    # via --resume (see vit_tpu/train/loop.py)
+                    ckpt.save(state, config=config, tag="last")
+                    ckpt.save_data_state(int(jax.device_get(state.step)),
+                                         {"epoch": epoch, "next_batch": i + 1,
+                                          "consumed": step + 1})
             if step % args.image_every == 0 and decode is not None and \
                     getattr(codes, "is_fully_addressable", True):
                 logits, _, _ = model.apply({"params": state.params}, codes)
@@ -255,7 +289,25 @@ def main():
                 usage = usage * 0.0
             step += 1
             st = time.time()
+            if shutdown.requested:
+                # SIGTERM (preemption grace window): persist the exact step
+                # and exit cleanly so --resume continues from here.
+                step_final = int(jax.device_get(state.step))
+                print(f"PREEMPTED: saving 'last' at step {step_final} "
+                      "and exiting")
+                ckpt.save(state, config=config, tag="last")
+                ckpt.save_data_state(step_final,
+                                     {"epoch": epoch, "next_batch": i + 1,
+                                      "consumed": step})
+                ckpt.finalize()
+                logger.close()
+                return
 
+    ckpt.save(state, config=config, tag="last")
+    ckpt.save_data_state(int(jax.device_get(state.step)),
+                         {"epoch": args.epochs, "next_batch": 0,
+                          "consumed": step})
+    ckpt.finalize()
     logger.close()
 
 

@@ -17,6 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from train_mae import get_loaders
+from vit_tpu.data.resume import resume_stream, set_stream_epoch
 from vit_tpu.models.puzzle import Puzzle, PuzzleConfig
 from vit_tpu.train.checkpoint import Checkpointer
 from vit_tpu.train.optim import make_optimizer
@@ -93,9 +94,15 @@ def main():
     state = TrainState.create(params, tx)
 
     ckpt = Checkpointer(args.ckpt_dir, mode="max")   # best = highest position acc
+    start_epoch, skip0 = 0, 0
     if args.resume and ckpt.can_restore():
         state = ckpt.restore(state)
         print(f"RESUMED at step {int(state.step)}")
+        data_rs = ckpt.load_data_state(int(state.step))
+        if data_rs:  # restore the input-stream position (vit_tpu/data/resume.py)
+            start_epoch, skip0 = int(data_rs["epoch"]), int(data_rs["next_batch"])
+            set_stream_epoch(train_loader, start_epoch)
+            print(f"RESUMED data stream at epoch {start_epoch}, batch {skip0}")
 
     from vit_tpu.train.distributed import maybe_mesh_runner
 
@@ -125,12 +132,14 @@ def main():
     eval_rng = (runner.put_rep(jax.random.PRNGKey(args.seed + 7))
                 if runner is not None else jax.random.PRNGKey(args.seed + 7))
     best_acc = -1.0
-    for epoch in range(args.epochs):
+    for epoch in range(start_epoch, args.epochs):
+        skip = skip0 if epoch == start_epoch else 0
         st = time.time()
         prev_loss = None
         for i, images in enumerate(device_prefetch(
-                train_loader, lambda b: put(b[0] if isinstance(b, (tuple, list))
-                                            else b))):
+                resume_stream(train_loader, skip),
+                lambda b: put(b[0] if isinstance(b, (tuple, list))
+                              else b)), start=skip):
             load_time = time.time() - st
             is_log = i % args.log_every == 0
             rebased = is_log and prev_loss is not None
@@ -154,9 +163,12 @@ def main():
                       f"load_time={load_time:.3f} step_time={step_time:.3f}")
             st = time.time()
             if shutdown.requested:
-                print(f"PREEMPTED: saving 'last' at step "
-                      f"{int(jax.device_get(state.step))} and exiting")
+                step_final = int(jax.device_get(state.step))
+                print(f"PREEMPTED: saving 'last' at step {step_final} "
+                      "and exiting")
                 ckpt.save(state, config=config, tag="last")
+                ckpt.save_data_state(step_final,
+                                     {"epoch": epoch, "next_batch": i + 1})
                 ckpt.finalize()
                 logger.close()
                 return
@@ -178,6 +190,8 @@ def main():
             ckpt.save_if_best(state, val_acc, config=config)
 
     ckpt.save(state, config=config, tag="last")
+    ckpt.save_data_state(int(jax.device_get(state.step)),
+                         {"epoch": args.epochs, "next_batch": 0})
     ckpt.finalize()
     logger.close()
 

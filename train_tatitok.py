@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
+from vit_tpu.data.resume import resume_stream, set_stream_epoch
 from vit_tpu.data.synthetic import SyntheticImageLoader
 from vit_tpu.models.tatitok import TATiTok, TATiTokConfig
 from vit_tpu.train.checkpoint import Checkpointer
@@ -138,9 +139,26 @@ def main():
     state = TrainState.create(params, tx)
 
     ckpt = Checkpointer(args.ckpt_dir, mode="min")
+    start_epoch, skip0, step0 = 0, 0, 0
     if args.resume and ckpt.can_restore():
-        state = ckpt.restore(state)
+        if vq_stats:
+            # clustering-EMA accumulators are training state too: without
+            # restoring them a resumed --clustering_vq run silently reseeds
+            # the EMA from zero (checkpoint "extra" tree; older checkpoints
+            # restore without it and keep the fresh init)
+            state, restored_extra = ckpt.restore(
+                state, extra_template={"vq_stats": vq_stats})
+            if restored_extra:
+                vq_stats = restored_extra["vq_stats"]
+        else:
+            state = ckpt.restore(state)
         print(f"RESUMED at step {int(state.step)}")
+        data_rs = ckpt.load_data_state(int(state.step))
+        if data_rs:  # restore the input-stream position (vit_tpu/data/resume.py)
+            start_epoch, skip0 = int(data_rs["epoch"]), int(data_rs["next_batch"])
+            step0 = int(data_rs.get("consumed", 0))
+            set_stream_epoch(train_loader, start_epoch)
+            print(f"RESUMED data stream at epoch {start_epoch}, batch {skip0}")
 
     clustering = args.clustering_vq
 
@@ -195,13 +213,18 @@ def main():
 
     print(f"STATS: enc_params={params_str(state.params)}")
 
+    from vit_tpu.train.preempt import GracefulShutdown
+
+    shutdown = GracefulShutdown.install()
     best_recon = float("inf")
     usage = jnp.zeros((config.codebook_size,), jnp.float32)
-    step = 0
+    step = step0
     prev_loss = None
-    for epoch in range(args.epochs):
+    for epoch in range(start_epoch, args.epochs):
+        skip = skip0 if epoch == start_epoch else 0
         st = time.time()
-        for images, _ in train_loader:
+        for i, (images, _) in enumerate(resume_stream(train_loader, skip),
+                                        start=skip):
             load_time = time.time() - st
             images = (runner.put_batch(images) if runner is not None
                       else jnp.asarray(images))
@@ -229,7 +252,15 @@ def main():
                       f"step_time={step_time:.3f}")
                 if host["train/recon_loss"] < best_recon:
                     best_recon = host["train/recon_loss"]
-                    ckpt.save_if_best(state, host["train/recon_loss"], config=config)
+                    extra = {"vq_stats": vq_stats} if vq_stats else None
+                    ckpt.save_if_best(state, host["train/recon_loss"],
+                                      config=config, extra=extra)
+                    # rolling "last" + input-stream position: crash recovery
+                    # via --resume (see vit_tpu/train/loop.py)
+                    ckpt.save(state, config=config, tag="last", extra=extra)
+                    ckpt.save_data_state(int(jax.device_get(state.step)),
+                                         {"epoch": epoch, "next_batch": i + 1,
+                                          "consumed": step + 1})
             if step % args.image_every == 0:
                 if getattr(recon, "is_fully_addressable", True):
                     logger.log_images(
@@ -239,7 +270,27 @@ def main():
                 usage = usage * 0.0
             step += 1
             st = time.time()
+            if shutdown.requested:
+                # SIGTERM (preemption grace window): persist the exact step
+                # and exit cleanly so --resume continues from here.
+                step_final = int(jax.device_get(state.step))
+                print(f"PREEMPTED: saving 'last' at step {step_final} "
+                      "and exiting")
+                ckpt.save(state, config=config, tag="last",
+                          extra={"vq_stats": vq_stats} if vq_stats else None)
+                ckpt.save_data_state(step_final,
+                                     {"epoch": epoch, "next_batch": i + 1,
+                                      "consumed": step})
+                ckpt.finalize()
+                logger.close()
+                return
 
+    ckpt.save(state, config=config, tag="last",
+              extra={"vq_stats": vq_stats} if vq_stats else None)
+    ckpt.save_data_state(int(jax.device_get(state.step)),
+                         {"epoch": args.epochs, "next_batch": 0,
+                          "consumed": step})
+    ckpt.finalize()
     logger.close()
 
 

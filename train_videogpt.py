@@ -25,6 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 from einops import rearrange
 
+from vit_tpu.data.resume import resume_stream, set_stream_epoch
 from vit_tpu.data.synthetic import SyntheticVideoLoader
 from vit_tpu.models.titok import TiTok, TiTokConfig
 from vit_tpu.models.videogpt import VideoGPT, VideoGPTConfig, generate_frames
@@ -182,9 +183,16 @@ def main():
     state = TrainState.create(params, tx)
 
     ckpt = Checkpointer(args.ckpt_dir, mode="min")
+    start_epoch, skip0, steps0 = 0, 0, 0
     if args.resume and ckpt.can_restore():
         state = ckpt.restore(state)
         print(f"RESUMED at step {int(state.step)}")
+        data_rs = ckpt.load_data_state(int(state.step))
+        if data_rs:  # restore the input-stream position (vit_tpu/data/resume.py)
+            start_epoch, skip0 = int(data_rs["epoch"]), int(data_rs["next_batch"])
+            steps0 = int(data_rs.get("consumed", 0))
+            set_stream_epoch(train_loader, start_epoch)
+            print(f"RESUMED data stream at epoch {start_epoch}, batch {skip0}")
 
     from vit_tpu.train.distributed import maybe_mesh_runner
 
@@ -204,8 +212,7 @@ def main():
     print(f"STATS: titok_params={params_str(titok_params)}, "
           f"video_gpt_params={params_str(state.params)}")
 
-    host_rng = np.random.default_rng(args.seed)
-    steps = 0
+    steps = steps0
     prev_loss = None
     # full-state saves move GBs device->host; decouple from log cadence
     # (see vit_tpu/train/loop.py)
@@ -218,19 +225,30 @@ def main():
 
     shutdown = GracefulShutdown.install()
 
+    # stateless crop stream keyed by (seed, global batch number) so a
+    # --resume run replays the exact crops an uninterrupted run would
+    # (vit_tpu/data/resume.py — a shared stateful RNG could not be
+    # fast-forwarded without knowing each draw's bound)
+    crop_idx = [steps0]
+
     def _prepare(batch):
         videos = np.asarray(batch[0])
         # random temporal crop (reference train_videogpt.py:120-121)
-        offset = int(host_rng.integers(
+        crop_rng = np.random.default_rng((args.seed, 0xC407, crop_idx[0]))
+        crop_idx[0] += 1
+        offset = int(crop_rng.integers(
             0, max(videos.shape[1] - args.max_frames, 1)))
         clip = np.asarray(videos[:, offset:offset + args.max_frames],
                           np.float32) / 255.0
         return runner.put_batch(clip) if runner is not None \
             else jnp.asarray(clip)
 
-    for epoch in range(args.epochs):
+    for epoch in range(start_epoch, args.epochs):
+        skip = skip0 if epoch == start_epoch else 0
         st = time.time()
-        for clip in device_prefetch(train_loader, _prepare):
+        for i, clip in enumerate(
+                device_prefetch(resume_stream(train_loader, skip), _prepare),
+                start=skip):
             load_time = time.time() - st
             is_log = steps % args.log_every == 0
             rebased = is_log and prev_loss is not None
@@ -258,6 +276,12 @@ def main():
                 if (last_ckpt_step is None
                         or steps - last_ckpt_step >= ckpt_every):
                     ckpt.save_if_best(state, loss, config=videogpt_config)
+                    # rolling "last" + input-stream position: crash recovery
+                    # via --resume (see vit_tpu/train/loop.py)
+                    ckpt.save(state, config=videogpt_config, tag="last")
+                    ckpt.save_data_state(int(step_now),
+                                         {"epoch": epoch, "next_batch": i + 1,
+                                          "consumed": steps + 1})
                     last_ckpt_step = steps
             if steps % args.gen_every == 0 and \
                     getattr(tokens, "is_fully_addressable", True):
@@ -280,9 +304,13 @@ def main():
             if shutdown.requested:
                 # SIGTERM (preemption grace window): persist the exact step
                 # and exit cleanly so --resume continues from here.
-                print(f"PREEMPTED: saving 'last' at step "
-                      f"{int(jax.device_get(state.step))} and exiting")
+                step_final = int(jax.device_get(state.step))
+                print(f"PREEMPTED: saving 'last' at step {step_final} "
+                      "and exiting")
                 ckpt.save(state, config=videogpt_config, tag="last")
+                ckpt.save_data_state(step_final,
+                                     {"epoch": epoch, "next_batch": i + 1,
+                                      "consumed": steps})
                 ckpt.finalize()
                 logger.close()
                 return
@@ -290,6 +318,9 @@ def main():
     # rolling "last" so --resume has the final state even when the best-loss
     # checkpoint is older
     ckpt.save(state, config=videogpt_config, tag="last")
+    ckpt.save_data_state(int(jax.device_get(state.step)),
+                         {"epoch": args.epochs, "next_batch": 0,
+                          "consumed": steps})
     ckpt.finalize()
     logger.close()
 

@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from vit_tpu.data.resume import resume_stream, set_stream_epoch
 from vit_tpu.data.synthetic import SyntheticImageLoader
 from vit_tpu.models.vit import ViTClassifier, ViTConfig
 from vit_tpu.train.checkpoint import Checkpointer
@@ -171,9 +172,15 @@ def main():
     state = TrainState.create(params, tx)
 
     ckpt = Checkpointer(args.ckpt_dir, mode="max")
+    start_epoch, skip0 = 0, 0
     if args.resume and ckpt.can_restore():
         state = ckpt.restore(state)
         print(f"RESUMED at step {int(state.step)}")
+        data_rs = ckpt.load_data_state(int(state.step))
+        if data_rs:  # restore the input-stream position (vit_tpu/data/resume.py)
+            start_epoch, skip0 = int(data_rs["epoch"]), int(data_rs["next_batch"])
+            set_stream_epoch(train_loader, start_epoch)
+            print(f"RESUMED data stream at epoch {start_epoch}, batch {skip0}")
 
     from vit_tpu.train.distributed import maybe_mesh_runner
 
@@ -205,12 +212,14 @@ def main():
     shutdown = GracefulShutdown.install()
     put = (runner.put_batch if runner is not None else jnp.asarray)
     best_acc = 0.0
-    for epoch in range(args.epochs):
+    for epoch in range(start_epoch, args.epochs):
+        skip = skip0 if epoch == start_epoch else 0
         st = time.time()
         window_metrics = []
         prev_loss = None
         for i, (images, labels) in enumerate(device_prefetch(
-                train_loader, lambda b: (put(b[0]), put(b[1])))):
+                resume_stream(train_loader, skip),
+                lambda b: (put(b[0]), put(b[1]))), start=skip):
             load_time = time.time() - st
             is_log = i % args.log_every == 0
             rebased = is_log and prev_loss is not None
@@ -240,9 +249,12 @@ def main():
             if shutdown.requested:
                 # SIGTERM (preemption grace window): persist the exact step
                 # and exit cleanly so --resume continues from here.
-                print(f"PREEMPTED: saving 'last' at step "
-                      f"{int(jax.device_get(state.step))} and exiting")
+                step_final = int(jax.device_get(state.step))
+                print(f"PREEMPTED: saving 'last' at step {step_final} "
+                      "and exiting")
                 ckpt.save(state, config=vit_config, tag="last")
+                ckpt.save_data_state(step_final,
+                                     {"epoch": epoch, "next_batch": i + 1})
                 ckpt.finalize()
                 logger.close()
                 return
@@ -269,6 +281,8 @@ def main():
     # rolling "last" so --resume (which restores tag="last") has a target even
     # when the best-acc checkpoint is older
     ckpt.save(state, config=vit_config, tag="last")
+    ckpt.save_data_state(int(jax.device_get(state.step)),
+                         {"epoch": args.epochs, "next_batch": 0})
     ckpt.finalize()
     logger.close()
 

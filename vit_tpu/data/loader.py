@@ -52,6 +52,10 @@ class DataLoader:
         self.shard_id = shard_id
         self.num_shards = num_shards
         self._epoch = 0
+        # one-shot batch skip applied by the next __iter__ (data-pipeline
+        # resume, vit_tpu/data/resume.py): slices the epoch's index
+        # permutation so skipped samples are never decoded
+        self._skip_next = 0
 
     def _indices(self):
         n = len(self.dataset)
@@ -72,6 +76,10 @@ class DataLoader:
     def __iter__(self):
         idx, nb = self._indices()
         self._epoch += 1
+        skip, self._skip_next = self._skip_next, 0
+        if skip:
+            idx = idx[skip * self.batch_size:]
+            nb = max(0, nb - skip)
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
 

@@ -79,14 +79,16 @@ class Checkpointer:
             return True
         return metric < self.best if self.mode == "min" else metric > self.best
 
-    def save_if_best(self, state: TrainState, metric: float, config=None) -> bool:
+    def save_if_best(self, state: TrainState, metric: float, config=None,
+                     extra=None) -> bool:
         if not self._improved(metric):
             return False
         self.best = float(metric)
-        self.save(state, config=config, tag="best")
+        self.save(state, config=config, tag="best", extra=extra)
         return True
 
-    def save(self, state: TrainState, *, config=None, tag: str = "last"):
+    def save(self, state: TrainState, *, config=None, tag: str = "last",
+             extra=None):
         """Kick off an ASYNC save: the device→host copy happens before this
         returns (donation-safe — the training step may overwrite the buffers),
         but the disk write runs in a background thread (orbax AsyncCheckpointer).
@@ -98,6 +100,11 @@ class Checkpointer:
         path = self.directory / f".{tag}.tmp"
         tree = {"step": state.step, "params": state.params,
                 "opt_state": state.opt_state}
+        if extra:
+            # auxiliary mutable collections that live outside TrainState —
+            # e.g. the Bytedance clustering-EMA accumulators (train_tatitok's
+            # vq_stats): without them a --resume run silently reseeds the EMA
+            tree["extra"] = extra
         if state.ema_params is not None:
             # only when EMA is on: checkpoints without it keep the exact
             # pre-EMA tree (old checkpoints stay restorable either way)
@@ -133,7 +140,15 @@ class Checkpointer:
         if jax.process_count() == 1 or jax.process_index() == 0:
             self._apply_pending_swaps()
 
-    def restore(self, state_template: TrainState, tag: str = "last") -> TrainState:
+    def restore(self, state_template: TrainState, tag: str = "last",
+                extra_template=None):
+        """Restore the train state (and, when ``extra_template`` is given, the
+        auxiliary ``extra`` tree saved alongside it — returning
+        ``(state, extra_or_None)`` instead of just the state).
+
+        Checkpoints written before an optional subtree existed (pre-EMA,
+        pre-extra) stay restorable: the missing subtree is dropped from the
+        template and re-seeded by the caller's semantics."""
         self._ckptr.wait_until_finished()
         self._apply_pending_swaps()
         path = self.directory / tag
@@ -142,16 +157,30 @@ class Checkpointer:
         want_ema = state_template.ema_params is not None
         if want_ema:
             tree["ema_params"] = state_template.ema_params
+        if extra_template is not None:
+            tree["extra"] = extra_template
+        # Reconcile optional subtrees against what the checkpoint actually
+        # holds (read off orbax metadata — StandardCheckpointer requires the
+        # template tree to match the saved tree exactly, both ways):
+        #  - template asks for a subtree the checkpoint lacks (resuming an
+        #    --ema_decay / clustering run from an older checkpoint): drop it,
+        #    the caller re-seeds;
+        #  - checkpoint holds a subtree the template didn't ask for: restore
+        #    it through an abstract metadata-shaped template and discard.
         try:
-            restored = self._ckptr.restore(path, tree)
+            md_tree = self._ckptr.metadata(path).item_metadata.tree
         except Exception:
-            if not want_ema:
-                raise
-            # resuming an --ema_decay run from a pre-EMA checkpoint: restore
-            # without the ema subtree and re-seed the average from the
-            # restored params (the same seeding TrainState.create does)
-            del tree["ema_params"]
-            restored = self._ckptr.restore(path, tree)
+            md_tree = None
+        if md_tree is not None:
+            for k in ("extra", "ema_params"):
+                if k in tree and k not in md_tree:
+                    del tree[k]
+                elif k not in tree and k in md_tree:
+                    tree[k] = jax.tree.map(
+                        lambda m: jax.ShapeDtypeStruct(tuple(m.shape), m.dtype),
+                        md_tree[k])
+        restored = self._ckptr.restore(path, tree)
+        if want_ema and "ema_params" not in restored:
             import jax.numpy as jnp
 
             # real copies: ema and params may both be donated by the step
@@ -160,13 +189,57 @@ class Checkpointer:
         meta_path = self.directory / f"{tag}_meta.json"
         if meta_path.exists():
             self.best = json.loads(meta_path.read_text()).get("best")
-        return state_template.replace(
+        state = state_template.replace(
             step=restored["step"], params=restored["params"],
             opt_state=restored["opt_state"],
             ema_params=restored["ema_params"] if want_ema else None)
+        if extra_template is not None:
+            return state, restored.get("extra")
+        return state
 
     def can_restore(self, tag: str = "last") -> bool:
         return (self.directory / tag).exists()
+
+    # -- input-stream position (vit_tpu/data/resume.py) --------------------
+    # A small JSON history keyed by optimizer step, written next to every
+    # checkpoint, so --resume can fast-forward the data pipeline to the batch
+    # after the one the restored step consumed. History (rather than a single
+    # entry) because the state save is async: if a crash lands between the
+    # JSON write and the orbax promote, "last" still points at the previous
+    # step — whose entry is retained.
+
+    def save_data_state(self, step: int, data_state: Dict[str, Any], *,
+                        keep: int = 8):
+        if jax.process_count() > 1 and jax.process_index() != 0:
+            return
+        path = self.directory / "data_state.json"
+        hist: Dict[str, Any] = {}
+        if path.exists():
+            try:
+                hist = json.loads(path.read_text())
+            except (json.JSONDecodeError, OSError):
+                hist = {}
+        hist[str(int(step))] = data_state
+        for k in sorted(hist, key=int)[:-keep]:
+            del hist[k]
+        tmp = path.with_suffix(".json.tmp")
+        tmp.write_text(json.dumps(hist))
+        tmp.replace(path)
+
+    def load_data_state(self, step: int) -> Optional[Dict[str, Any]]:
+        """Entry for ``step``, or the newest entry at an earlier step (the
+        async-save crash window above), or None (pre-feature checkpoints)."""
+        path = self.directory / "data_state.json"
+        if not path.exists():
+            return None
+        try:
+            hist = json.loads(path.read_text())
+        except (json.JSONDecodeError, OSError):
+            return None
+        eligible = [int(k) for k in hist if int(k) <= int(step)]
+        if not eligible:
+            return None
+        return hist[str(max(eligible))]
 
 
 def load_params(directory: str, tag: Optional[str] = None, *,

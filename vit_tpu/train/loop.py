@@ -15,6 +15,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
+from vit_tpu.data.resume import resume_stream, set_stream_epoch
 from vit_tpu.train.checkpoint import Checkpointer
 from vit_tpu.train.distributed import is_addressable, maybe_mesh_runner
 from vit_tpu.train.optim import make_optimizer
@@ -60,9 +61,19 @@ def run_tokenizer_training(args, model, model_config, train_loader, *,
                               ema_decay=getattr(args, "ema_decay", 0.0))
 
     ckpt = Checkpointer(args.ckpt_dir, mode="min")
+    start_epoch, skip0 = 0, 0
     if getattr(args, "resume", False) and ckpt.can_restore():
         state = ckpt.restore(state)
         print(f"RESUMED at step {int(state.step)}")
+        # restore the input-stream position too (vit_tpu/data/resume.py):
+        # the resumed run continues the batch sequence instead of re-reading
+        # the dataset from the top
+        data_rs = ckpt.load_data_state(int(state.step))
+        if data_rs:
+            start_epoch, skip0 = int(data_rs["epoch"]), int(data_rs["next_batch"])
+            set_stream_epoch(train_loader, start_epoch)
+            print(f"RESUMED data stream at epoch {start_epoch}, "
+                  f"batch {skip0}")
 
     step_fn = make_tokenizer_train_step(
         model, perceptual_loss_fn=perceptual,
@@ -118,10 +129,12 @@ def run_tokenizer_training(args, model, model_config, train_loader, *,
     shutdown = GracefulShutdown.install()
 
     put = (runner.put_batch if runner is not None else jnp.asarray)
-    for epoch in range(args.epochs):
+    for epoch in range(start_epoch, args.epochs):
+        skip = skip0 if epoch == start_epoch else 0
         st = time.time()
         for i, (images, _) in enumerate(
-                device_prefetch(train_loader, lambda b: (put(b[0]), b[1]))):
+                device_prefetch(resume_stream(train_loader, skip),
+                                lambda b: (put(b[0]), b[1])), start=skip):
             if profile_dir and global_i == 10:
                 jax.profiler.start_trace(profile_dir)
             load_time = time.time() - st
@@ -174,6 +187,8 @@ def run_tokenizer_training(args, model, model_config, train_loader, *,
                     # rolling "last" checkpoint: crash recovery via --resume
                     # (the reference loses the run on crash, SURVEY.md §5)
                     ckpt.save(state, config=model_config, tag="last")
+                    ckpt.save_data_state(int(step_now),
+                                         {"epoch": epoch, "next_batch": i + 1})
                     last_ckpt_step = global_i
             if i % args.image_every == 0:
                 if is_proc0 and is_addressable(recon):
@@ -197,15 +212,20 @@ def run_tokenizer_training(args, model, model_config, train_loader, *,
             if shutdown.requested:
                 # SIGTERM (preemption grace window): persist the exact step
                 # and exit cleanly so --resume continues from here.
-                print(f"PREEMPTED: saving 'last' at step "
-                      f"{int(jax.device_get(state.step))} and exiting")
+                step_final = int(jax.device_get(state.step))
+                print(f"PREEMPTED: saving 'last' at step {step_final} "
+                      "and exiting")
                 ckpt.save(state, config=model_config, tag="last")
+                ckpt.save_data_state(step_final,
+                                     {"epoch": epoch, "next_batch": i + 1})
                 ckpt.finalize()
                 logger.close()
                 return state
 
     # final state is always recoverable regardless of where the interval fell
     ckpt.save(state, config=model_config, tag="last")
+    ckpt.save_data_state(int(jax.device_get(state.step)),
+                         {"epoch": args.epochs, "next_batch": 0})
     ckpt.finalize()
     logger.close()
     return state
