@@ -34,6 +34,12 @@ def main():
     parser.add_argument("--steps", type=int, default=20)
     parser.add_argument("--warmup", type=int, default=3)
     parser.add_argument("--no_perceptual", action="store_true")
+    parser.add_argument("--scan_layers", action="store_true",
+                        help="lax.scan over transformer blocks (compile-time "
+                             "lever; A/B the step-time cost here). Implies "
+                             "remat: the scan backward's saved per-iteration "
+                             "intermediates exceed HBM at this batch size "
+                             "(measured 21.5G > 15.75G without it)")
     parser.add_argument("--profile_dir", type=str, default=None,
                         help="capture a jax.profiler trace of 3 timed steps here")
     args = parser.parse_args()
@@ -45,7 +51,8 @@ def main():
     from vit_tpu.train.step import make_tokenizer_train_step
 
     config = TiTokConfig(image_size=128, patch_size=16, latent_tokens=256,
-                         codebook_size=2048, latent_dim=12, transformer="B")
+                         codebook_size=2048, latent_dim=12, transformer="B",
+                         scan_layers=args.scan_layers, remat=args.scan_layers)
     model = TiTok(config)
     rng = jax.random.PRNGKey(0)
     images = jax.random.uniform(rng, (args.bs, 128, 128, 3), jnp.float32)

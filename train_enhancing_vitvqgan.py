@@ -43,6 +43,11 @@ def parse_args():
     parser.add_argument('--perceptual_weight', type=float, default=1.0)
     parser.add_argument('--attn_impl', type=str, default=None,
                         choices=[None, 'pallas', 'xla'])
+    parser.add_argument('--scan_layers', type=str2bool, default=False,
+                        help='compile each transformer stack as one lax.scan '
+                             'over stacked layer params: ~depth-fold smaller '
+                             'XLA program (much faster compiles), same math '
+                             '(vit_tpu/models/enhancing_vqgan.py)')
     parser.add_argument('--ckpt_dir', type=str, default='titok_models/enhancing')
     parser.add_argument('--resume', action='store_true')
     parser.add_argument('--ema_decay', type=float, default=0.0,
@@ -70,7 +75,8 @@ def main():
     config = EnhancingVQGANConfig(args.image_size, args.patch_size,
                                   args.codebook_size, args.latent_dim,
                                   args.transformer, dtype=dtype,
-                                  attn_impl=args.attn_impl)
+                                  attn_impl=args.attn_impl,
+                                  scan_layers=args.scan_layers)
 
     project_name = ('vit-vqgan' if args.dataset == 'imagenet'
                     else 'enhancing-vqgan-synthetic')

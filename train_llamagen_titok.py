@@ -59,6 +59,8 @@ def parse_args():
     parser.add_argument('--steps_per_epoch', type=int, default=100)
     parser.add_argument('--attn_impl', type=str, default=None,
                         choices=[None, 'pallas', 'xla'])
+    parser.add_argument('--scan_layers', type=str2bool, default=False,
+                        help='compile each transformer stack as one lax.scan over stacked layer params: ~n_layers-fold smaller XLA program (much faster compiles), same math (vit_tpu/core/transformer.py)')
     parser.add_argument('--ckpt_dir', type=str, default='titok_models/llamagen')
     parser.add_argument('--resume', action='store_true')
     parser.add_argument('--log_every', type=int, default=100)
@@ -166,7 +168,8 @@ def main():
     config = LlamaGenTiTokConfig(args.vq_codebook_size, args.vq_latent_tokens,
                                  args.latent_tokens, args.codebook_size,
                                  args.latent_dim, args.transformer,
-                                 dtype=dtype, attn_impl=args.attn_impl)
+                                 dtype=dtype, attn_impl=args.attn_impl,
+                                 scan_layers=args.scan_layers)
 
     project_name = ('titok-CE-imagenet' if args.dataset == 'imagenet'
                     else 'titok-CE-synthetic')

@@ -61,6 +61,8 @@ def parse_args():
     parser.add_argument('--resume', action='store_true')
     parser.add_argument('--attn_impl', type=str, default=None,
                         choices=[None, 'pallas', 'xla'])
+    parser.add_argument('--scan_layers', type=str2bool, default=False,
+                        help='compile each transformer stack as one lax.scan over stacked layer params: ~n_layers-fold smaller XLA program (much faster compiles), same math (vit_tpu/core/transformer.py)')
     parser.add_argument('--log_every', type=int, default=100)
     parser.add_argument('--seed', type=int, default=0)
     parser.add_argument('--no_wandb', action='store_true')
@@ -123,7 +125,8 @@ def main():
     config = MAEConfig(args.image_size, args.in_channels, args.patch_size,
                        args.transformer, args.mask_ratio, args.decoder_layers,
                        args.decoder_heads, args.decoder_embd, args.dropout,
-                       args.norm_pix, dtype=dtype, attn_impl=args.attn_impl)
+                       args.norm_pix, dtype=dtype, attn_impl=args.attn_impl,
+                       scan_layers=args.scan_layers)
 
     run_name = (f"mae_{args.patch_size}px_{args.image_size}px_{args.transformer}_"
                 f"{args.mask_ratio}mr_{args.bs}bs_{args.lr}lr")

@@ -54,6 +54,8 @@ def parse_args():
     parser.add_argument('--resume', action='store_true')
     parser.add_argument('--attn_impl', type=str, default=None,
                         choices=[None, 'pallas', 'xla'])
+    parser.add_argument('--scan_layers', type=str2bool, default=False,
+                        help='compile each transformer stack as one lax.scan over stacked layer params: ~n_layers-fold smaller XLA program (much faster compiles), same math (vit_tpu/core/transformer.py)')
     parser.add_argument('--log_every', type=int, default=100)
     parser.add_argument('--seed', type=int, default=0)
     parser.add_argument('--no_wandb', action='store_true')
@@ -74,7 +76,8 @@ def main():
     dtype = jnp.bfloat16 if args.mixed else jnp.float32
     config = PuzzleConfig(args.image_size, args.in_channels, args.patch_size,
                           args.transformer, args.mask_ratio, args.dropout,
-                          dtype=dtype, attn_impl=args.attn_impl)
+                          dtype=dtype, attn_impl=args.attn_impl,
+                          scan_layers=args.scan_layers)
 
     run_name = (f"puzzle_{args.patch_size}px_{args.image_size}px_"
                 f"{args.transformer}_{args.mask_ratio}mr_{args.bs}bs_{args.lr}lr")

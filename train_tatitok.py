@@ -62,6 +62,8 @@ def parse_args():
     parser.add_argument('--clustering_vq', action='store_true')
     parser.add_argument('--attn_impl', type=str, default=None,
                         choices=[None, 'pallas', 'xla'])
+    parser.add_argument('--scan_layers', type=str2bool, default=False,
+                        help='compile each transformer stack as one lax.scan over stacked layer params: ~n_layers-fold smaller XLA program (much faster compiles), same math (vit_tpu/core/transformer.py)')
     parser.add_argument('--ckpt_dir', type=str, default='titok_models/tatitok')
     parser.add_argument('--resume', action='store_true')
     parser.add_argument('--ema_decay', type=float, default=0.0,
@@ -112,7 +114,8 @@ def main():
                            args.codebook_size, args.latent_dim, args.transformer,
                            use_l2_norm=args.use_l2_norm,
                            clustering_vq=args.clustering_vq,
-                           dtype=dtype, attn_impl=args.attn_impl)
+                           dtype=dtype, attn_impl=args.attn_impl,
+                           scan_layers=args.scan_layers)
 
     project_name = f"titok-single-{args.dataset}"
     run_name = f"{args.transformer}_{args.latent_tokens}_{args.codebook_size}"

@@ -51,6 +51,11 @@ def parse_args():
     parser.add_argument('--quantizer', type=str, default='vq', choices=['vq', 'fsq'])
     parser.add_argument('--attn_impl', type=str, default=None,
                         choices=[None, 'pallas', 'xla'])
+    parser.add_argument('--scan_layers', type=str2bool, default=False,
+                        help='compile each transformer stack as one lax.scan '
+                             'over stacked layer params: ~n_layers-fold '
+                             'smaller XLA program (much faster compiles), '
+                             'same math (vit_tpu/core/transformer.py)')
     parser.add_argument('--n_layers', type=int, default=None,
                         help='override enc/dec transformer depth (debug & the '
                              'driver multi-chip dryrun; None = preset depth)')
@@ -120,7 +125,8 @@ def main():
     titok_config = TiTokConfig(args.image_size, args.patch_size, args.latent_tokens,
                                args.codebook_size, args.latent_dim, args.transformer,
                                dtype=dtype, attn_impl=args.attn_impl,
-                               quantizer=args.quantizer)
+                               quantizer=args.quantizer,
+                               scan_layers=args.scan_layers)
     if args.n_layers is not None:
         for name in ("enc_vit_config", "dec_vit_config"):
             sub = getattr(titok_config, name)

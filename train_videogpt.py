@@ -63,6 +63,12 @@ def parse_args():
     parser.add_argument('--steps_per_epoch', type=int, default=50)
     parser.add_argument('--attn_impl', type=str, default=None,
                         choices=[None, 'pallas', 'xla'])
+    parser.add_argument('--scan_layers', type=str2bool, default=False,
+                        help='compile the AR transformer stack as one lax.scan '
+                             'over stacked layer params: ~n_layers-fold smaller '
+                             'XLA program (much faster compiles), same math; '
+                             'the KV-cache rollout works scanned too '
+                             '(vit_tpu/core/transformer.py)')
     parser.add_argument('--ckpt_dir', type=str, default='ckpt/videogpt')
     parser.add_argument('--resume', action='store_true')
     parser.add_argument('--log_every', type=int, default=100)
@@ -155,7 +161,8 @@ def main():
 
     videogpt_config = VideoGPTConfig(args.frame_size, args.codebook_size,
                                      args.transformer, args.max_frames, args.dropout,
-                                     dtype=dtype, attn_impl=args.attn_impl)
+                                     dtype=dtype, attn_impl=args.attn_impl,
+                                     scan_layers=args.scan_layers)
     model = VideoGPT(videogpt_config)
 
     project_name = f"videogpt-{args.dataset}"

@@ -72,6 +72,11 @@ def parse_args():
                              '(train_mae.py / train_puzzle.py fine-tuning recipe)')
     parser.add_argument('--attn_impl', type=str, default=None,
                         choices=[None, 'pallas', 'xla'])
+    parser.add_argument('--scan_layers', type=str2bool, default=False,
+                        help='compile the transformer stack as one lax.scan '
+                             'over stacked layer params: ~n_layers-fold '
+                             'smaller XLA program (much faster compiles), '
+                             'same math (vit_tpu/core/transformer.py)')
     parser.add_argument('--log_every', type=int, default=100)
     parser.add_argument('--seed', type=int, default=0)
     parser.add_argument('--no_wandb', action='store_true')
@@ -137,7 +142,8 @@ def main():
     dtype = jnp.bfloat16 if args.mixed else jnp.float32
     vit_config = ViTConfig(args.image_size, args.in_channels, args.patch_size,
                            args.transformer, args.extra_tokens, args.dropout,
-                           dtype=dtype, attn_impl=args.attn_impl)
+                           dtype=dtype, attn_impl=args.attn_impl,
+                           scan_layers=args.scan_layers)
 
     run_name = (f"{args.patch_size}px_{args.image_size}px_{args.transformer}_"
                 f"{args.bs}bs_{args.lr}lr_{args.dropout}drp")

@@ -46,6 +46,8 @@ def parse_args():
     parser.add_argument('--quantizer', type=str, default='vq', choices=['vq', 'fsq'])
     parser.add_argument('--attn_impl', type=str, default=None,
                         choices=[None, 'pallas', 'xla'])
+    parser.add_argument('--scan_layers', type=str2bool, default=False,
+                        help='compile each transformer stack as one lax.scan over stacked layer params: ~n_layers-fold smaller XLA program (much faster compiles), same math (vit_tpu/core/transformer.py)')
     parser.add_argument('--ckpt_dir', type=str, default='titok_models/vit_vqgan')
     parser.add_argument('--resume', action='store_true')
     parser.add_argument('--ema_decay', type=float, default=0.0,
@@ -83,7 +85,8 @@ def main():
     config = ViTVQGANConfig(args.image_size, args.patch_size, args.codebook_size,
                             args.latent_dim, args.transformer,
                             dtype=dtype, attn_impl=args.attn_impl,
-                            quantizer=args.quantizer)
+                            quantizer=args.quantizer,
+                            scan_layers=args.scan_layers)
 
     project_name = ('vit-vqgan' if args.dataset == 'imagenet'
                     else 'vit-vqgan-synthetic')

@@ -43,6 +43,14 @@ class TransformerConfig:
                                              # param tree changes to
                                              # {kernel_q, scale, bias}
     remat: bool = False                      # jax.checkpoint each block
+    scan_layers: bool = False                # compile the stack as ONE
+                                             # lax.scan over stacked params:
+                                             # ~n_layers-fold smaller XLA
+                                             # program (compile time), same
+                                             # math; param tree changes to
+                                             # layers/... with a leading
+                                             # n_layers axis (converters in
+                                             # core/transformer.py)
     # Author's minimal core uses F.layer_norm without learnable affine params
     # (reference: transformer.py:43-44); the Bytedance core uses nn.LayerNorm with
     # affine (reference: blocks.py:43). Both behaviors are config-selectable.

@@ -309,6 +309,22 @@ class Mlp(nn.Module):
         return h
 
 
+def _block_forward(cfg: TransformerConfig, x, deterministic, decode_pos):
+    """Pre-LN block body shared by the unrolled and scanned stacks. Must be
+    called inside an nn.compact __call__ — the submodules attach to the caller,
+    so both stacks get the identical per-block param subtree."""
+    fused_qkv, fused_mlp = _use_fused_ln(cfg, decode_pos)
+    # Fused path: Attention/Mlp receive the RAW stream and fold the pre-LN
+    # into their first matmul's operand read. Identical param tree either
+    # way (non-affine LN has no params — gated in _use_fused_ln).
+    h1 = x if fused_qkv else LayerNorm(cfg, name="ln1")(x)
+    x = x + Attention(cfg, name="attn")(h1, deterministic, decode_pos,
+                                        fused_ln=fused_qkv)
+    h2 = x if fused_mlp else LayerNorm(cfg, name="ln2")(x)
+    x = x + Mlp(cfg, name="mlp")(h2, deterministic, fused_ln=fused_mlp)
+    return x
+
+
 class TransformerLayer(nn.Module):
     """Pre-LN block (reference transformer.py:31-45)."""
 
@@ -316,31 +332,89 @@ class TransformerLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True, decode_pos=None):
-        cfg = self.config
-        fused_qkv, fused_mlp = _use_fused_ln(cfg, decode_pos)
-        # Fused path: Attention/Mlp receive the RAW stream and fold the pre-LN
-        # into their first matmul's operand read. Identical param tree either
-        # way (non-affine LN has no params — gated in _use_fused_ln).
-        h1 = x if fused_qkv else LayerNorm(cfg, name="ln1")(x)
-        x = x + Attention(cfg, name="attn")(h1, deterministic, decode_pos,
-                                            fused_ln=fused_qkv)
-        h2 = x if fused_mlp else LayerNorm(cfg, name="ln2")(x)
-        x = x + Mlp(cfg, name="mlp")(h2, deterministic, fused_ln=fused_mlp)
-        return x
+        return _block_forward(self.config, x, deterministic, decode_pos)
 
 
-class Transformer(nn.Module):
-    """Stack of TransformerLayers (reference transformer.py:47-54)."""
+class _ScanBlock(nn.Module):
+    """TransformerLayer with nn.scan's (carry, ys) calling convention."""
 
     config: TransformerConfig
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True, decode_pos=None):
-        x = x.astype(self.config.dtype)
+        return _block_forward(self.config, x, deterministic, decode_pos), None
+
+
+class Transformer(nn.Module):
+    """Stack of TransformerLayers (reference transformer.py:47-54).
+
+    ``cfg.scan_layers`` compiles the stack as ONE ``lax.scan`` over a stacked
+    param tree instead of ``n_layers`` unrolled copies — the XLA program
+    shrinks ~n_layers-fold, which is the lever on compile time (flagship
+    compiles through this environment's TPU tunnel take 10+ minutes unrolled).
+    Param tree: ``layers/{ln*,attn,mlp}/...`` with a leading ``n_layers`` axis,
+    vs the unrolled ``layer_{i}/...`` — convert with
+    ``stack_layer_params``/``unstack_layer_params``. KV-cache decode works
+    scanned too (the cache collection gains the same leading axis)."""
+
+    config: TransformerConfig
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True, decode_pos=None):
+        cfg = self.config
+        x = x.astype(cfg.dtype)
+        if cfg.scan_layers:
+            block = _ScanBlock
+            if cfg.remat and decode_pos is None:
+                block = nn.remat(block, static_argnums=(2,),
+                                 prevent_cse=False)  # scan carries no CSE risk
+            stack = nn.scan(
+                block,
+                variable_axes={"params": 0, "cache": 0},
+                split_rngs={"params": True, "dropout": True},
+                length=cfg.n_layers,
+                in_axes=(nn.broadcast, nn.broadcast),
+                metadata_params={nn.meta.PARTITION_NAME: None},
+            )
+            x, _ = stack(cfg, name="layers")(x, deterministic, decode_pos)
+            return x
         layer_cls = TransformerLayer
-        if self.config.remat and decode_pos is None:
+        if cfg.remat and decode_pos is None:
             layer_cls = nn.remat(TransformerLayer, static_argnums=(2,))
-        for i in range(self.config.n_layers):
-            x = layer_cls(self.config, name=f"layer_{i}")(x, deterministic,
-                                                          decode_pos)
+        for i in range(cfg.n_layers):
+            x = layer_cls(cfg, name=f"layer_{i}")(x, deterministic,
+                                                  decode_pos)
         return x
+
+
+def stack_layer_params(tree: dict, n_layers: int) -> dict:
+    """Unrolled transformer params (``layer_0..layer_{N-1}``) → the scanned
+    layout (``layers`` with each leaf gaining a leading ``n_layers`` axis).
+    Works on any subtree that directly contains the ``layer_i`` keys (e.g.
+    ``params["transformer"]``); non-layer siblings pass through unchanged."""
+    layers = [tree[f"layer_{i}"] for i in range(n_layers)]
+    out = {k: v for k, v in tree.items() if not k.startswith("layer_")}
+    out["layers"] = jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
+    return out
+
+
+def unstack_layer_params(tree: dict) -> dict:
+    """Inverse of :func:`stack_layer_params`."""
+    stacked = tree["layers"]
+    n = jax.tree_util.tree_leaves(stacked)[0].shape[0]
+    out = {k: v for k, v in tree.items() if k != "layers"}
+    for i in range(n):
+        out[f"layer_{i}"] = jax.tree.map(lambda x: x[i], stacked)
+    return out
+
+
+def convert_stack_layout(tree: dict, scan_layers: bool) -> dict:
+    """Normalize a Transformer param subtree to the requested layout — no-op
+    when it already matches. Lets checkpoints cross the scan_layers boundary
+    (e.g. an unrolled MAE pretrain fine-tuned with --scan_layers true)."""
+    if scan_layers and any(k.startswith("layer_") for k in tree):
+        return stack_layer_params(
+            tree, sum(k.startswith("layer_") for k in tree))
+    if not scan_layers and "layers" in tree:
+        return unstack_layer_params(tree)
+    return tree

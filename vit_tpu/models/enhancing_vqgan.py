@@ -17,6 +17,7 @@ Differences from the minimal-core ViT-VQGAN, all reproduced here:
 from __future__ import annotations
 
 import dataclasses
+import re
 from typing import Optional
 
 import jax
@@ -73,11 +74,20 @@ class EnhancingVQGANConfig:
     dtype: jnp.dtype = jnp.bfloat16
     param_dtype: jnp.dtype = jnp.float32
     attn_impl: Optional[str] = None
+    scan_layers: bool = False   # compile the stack as ONE lax.scan over stacked
+                                # params (see core/transformer.py scan_layers);
+                                # param tree: layers/{attn_norm,attn,ff_norm,
+                                # ff1,ff2} with a leading depth axis vs the
+                                # flat suffixed default (attn_norm_0, ...)
+    remat: bool = False         # jax.checkpoint each scanned block
 
     def __post_init__(self):
         self.grid_size = self.image_size // self.patch_size
         self.n_patches = self.grid_size ** 2
         self.latent_tokens = self.n_patches
+
+    def replace(self, **kw) -> "EnhancingVQGANConfig":
+        return dataclasses.replace(self, **kw)
 
 
 class EnhancingAttention(nn.Module):
@@ -98,8 +108,45 @@ class EnhancingAttention(nn.Module):
                         param_dtype=cfg.param_dtype, name="to_out")(out)
 
 
+def _enhancing_block(cfg: EnhancingVQGANConfig, x, suffix: str = ""):
+    """One pre-norm block (reference :155-169). Must be called inside an
+    nn.compact __call__ — submodules attach to the caller, so the flat
+    (suffix="_{i}") and scanned (suffix="") layouts get identical per-block
+    param subtrees modulo naming."""
+    h = nn.LayerNorm(dtype=jnp.float32, param_dtype=cfg.param_dtype,
+                     name=f"attn_norm{suffix}")(x).astype(cfg.dtype)
+    x = x + EnhancingAttention(cfg, name=f"attn{suffix}")(h)
+    h = nn.LayerNorm(dtype=jnp.float32, param_dtype=cfg.param_dtype,
+                     name=f"ff_norm{suffix}")(x).astype(cfg.dtype)
+    h = nn.Dense(cfg.mlp_dim, kernel_init=xavier_uniform_2d,
+                 bias_init=nn.initializers.zeros, dtype=cfg.dtype,
+                 param_dtype=cfg.param_dtype, name=f"ff1{suffix}")(h)
+    h = jnp.tanh(h)   # Tanh FFN, a quirk of this variant (reference :117-124)
+    h = nn.Dense(cfg.dim, kernel_init=xavier_uniform_2d,
+                 bias_init=nn.initializers.zeros, dtype=cfg.dtype,
+                 param_dtype=cfg.param_dtype, name=f"ff2{suffix}")(h)
+    return x + h
+
+
+class _EnhancingScanBlock(nn.Module):
+    """One block with nn.scan's (carry, ys) calling convention."""
+
+    config: EnhancingVQGANConfig
+
+    @nn.compact
+    def __call__(self, x):
+        return _enhancing_block(self.config, x), None
+
+
 class EnhancingTransformer(nn.Module):
-    """Pre-norm blocks with Tanh FFN and trailing LayerNorm (reference :155-169)."""
+    """Pre-norm blocks with Tanh FFN and trailing LayerNorm (reference :155-169).
+
+    ``cfg.scan_layers`` compiles the stack as ONE ``lax.scan`` over a stacked
+    ``layers/...`` subtree (leading ``depth`` axis) instead of ``depth``
+    unrolled copies — same math, ~depth-fold smaller XLA program. The flat
+    suffixed layout (``attn_norm_0, attn_0, ff1_0, ...``) stays the default
+    for checkpoint compatibility; convert with
+    :func:`stack_enhancing_params` / :func:`unstack_enhancing_params`."""
 
     config: EnhancingVQGANConfig
 
@@ -107,22 +154,65 @@ class EnhancingTransformer(nn.Module):
     def __call__(self, x):
         cfg = self.config
         x = x.astype(cfg.dtype)
-        for i in range(cfg.depth):
-            h = nn.LayerNorm(dtype=jnp.float32, param_dtype=cfg.param_dtype,
-                             name=f"attn_norm_{i}")(x).astype(cfg.dtype)
-            x = x + EnhancingAttention(cfg, name=f"attn_{i}")(h)
-            h = nn.LayerNorm(dtype=jnp.float32, param_dtype=cfg.param_dtype,
-                             name=f"ff_norm_{i}")(x).astype(cfg.dtype)
-            h = nn.Dense(cfg.mlp_dim, kernel_init=xavier_uniform_2d,
-                         bias_init=nn.initializers.zeros, dtype=cfg.dtype,
-                         param_dtype=cfg.param_dtype, name=f"ff1_{i}")(h)
-            h = jnp.tanh(h)   # Tanh FFN, a quirk of this variant (reference :117-124)
-            h = nn.Dense(cfg.dim, kernel_init=xavier_uniform_2d,
-                         bias_init=nn.initializers.zeros, dtype=cfg.dtype,
-                         param_dtype=cfg.param_dtype, name=f"ff2_{i}")(h)
-            x = x + h
+        if cfg.scan_layers:
+            block = _EnhancingScanBlock
+            if cfg.remat:
+                block = nn.remat(block, prevent_cse=False)
+            stack = nn.scan(
+                block,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True},
+                length=cfg.depth,
+                metadata_params={nn.meta.PARTITION_NAME: None},
+            )
+            x, _ = stack(cfg, name="layers")(x)
+        else:
+            for i in range(cfg.depth):
+                x = _enhancing_block(cfg, x, f"_{i}")
         return nn.LayerNorm(dtype=jnp.float32, param_dtype=cfg.param_dtype,
                             name="final_norm")(x).astype(cfg.dtype)
+
+
+_ENHANCING_BLOCK_KEYS = ("attn_norm", "attn", "ff_norm", "ff1", "ff2")
+_ENHANCING_FLAT_RE = re.compile(
+    r"^(" + "|".join(_ENHANCING_BLOCK_KEYS) + r")_(\d+)$")
+
+
+def stack_enhancing_params(tree: dict, depth: int) -> dict:
+    """Flat enhancing-transformer params (``attn_norm_0..``) → the scanned
+    layout (``layers/{attn_norm,attn,ff_norm,ff1,ff2}`` with each leaf gaining
+    a leading ``depth`` axis). Non-layer siblings (``final_norm``) pass
+    through unchanged."""
+    out = {k: v for k, v in tree.items() if not _ENHANCING_FLAT_RE.match(k)}
+    layers = {}
+    for base in _ENHANCING_BLOCK_KEYS:
+        per = [tree[f"{base}_{i}"] for i in range(depth)]
+        layers[base] = jax.tree.map(lambda *xs: jnp.stack(xs), *per)
+    out["layers"] = layers
+    return out
+
+
+def unstack_enhancing_params(tree: dict) -> dict:
+    """Inverse of :func:`stack_enhancing_params`."""
+    layers = tree["layers"]
+    n = jax.tree_util.tree_leaves(layers)[0].shape[0]
+    out = {k: v for k, v in tree.items() if k != "layers"}
+    for base in _ENHANCING_BLOCK_KEYS:
+        for i in range(n):
+            out[f"{base}_{i}"] = jax.tree.map(lambda x: x[i], layers[base])
+    return out
+
+
+def convert_enhancing_layout(tree: dict, scan_layers: bool) -> dict:
+    """Normalize an EnhancingTransformer param subtree to the requested layout
+    — no-op (identity) when it already matches. Lets checkpoints cross the
+    scan_layers boundary."""
+    if scan_layers and "layers" not in tree:
+        depth = sum(1 for k in tree if re.fullmatch(r"attn_\d+", k))
+        return stack_enhancing_params(tree, depth)
+    if not scan_layers and "layers" in tree:
+        return unstack_enhancing_params(tree)
+    return tree
 
 
 class EnhancingEncoder(nn.Module):

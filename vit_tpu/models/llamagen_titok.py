@@ -46,13 +46,14 @@ class LlamaGenTiTokConfig:
     attn_impl: Optional[str] = None
     quant: Optional[str] = None
     remat: bool = False
+    scan_layers: bool = False
 
     def __post_init__(self):
         self.trans_config: TransformerConfig = transformer_configs[self.transformer](
             block_size=self.vq_latent_tokens + self.latent_tokens, dropout=0.0,
             dtype=self.dtype, param_dtype=self.param_dtype,
             attn_impl=self.attn_impl, remat=self.remat,
-            quant=self.quant)
+            quant=self.quant, scan_layers=self.scan_layers)
         self.n_embd = self.trans_config.n_embd
 
 

@@ -63,6 +63,7 @@ class MAEConfig:
     attn_impl: Optional[str] = None
     remat: bool = False
     quant: Optional[str] = None
+    scan_layers: bool = False
 
     def __post_init__(self):
         self.n_patches = (self.image_size // self.patch_size) ** 2
@@ -73,12 +74,13 @@ class MAEConfig:
         self.enc_config: TransformerConfig = transformer_configs[self.transformer](
             block_size=self.len_keep + 1, dropout=self.dropout, dtype=self.dtype,
             param_dtype=self.param_dtype, attn_impl=self.attn_impl, remat=self.remat,
-            quant=self.quant)
+            quant=self.quant, scan_layers=self.scan_layers)
         self.dec_config = TransformerConfig(
             n_layers=self.decoder_layers, n_heads=self.decoder_heads,
             n_embd=self.decoder_embd, block_size=self.n_patches + 1,
             dropout=self.dropout, dtype=self.dtype, param_dtype=self.param_dtype,
-            attn_impl=self.attn_impl, remat=self.remat, quant=self.quant)
+            attn_impl=self.attn_impl, remat=self.remat, quant=self.quant,
+            scan_layers=self.scan_layers)
 
 
 def random_masking(rng, batch: int, n: int, len_keep: int):
@@ -215,11 +217,16 @@ def load_encoder_into_vit(mae_params, vit_params):
     """
     import copy
 
+    from vit_tpu.core.transformer import convert_stack_layout
+
     new = copy.deepcopy(vit_params)
     enc = mae_params["encoder"]
     vit = new["vit"]
     vit["patch_proj"] = copy.deepcopy(enc["patch_proj"])
-    vit["transformer"] = copy.deepcopy(enc["transformer"])
+    # normalize to the target's stack layout so a pretrain and a fine-tune may
+    # disagree on scan_layers (core/transformer.py)
+    vit["transformer"] = convert_stack_layout(
+        copy.deepcopy(enc["transformer"]), "layers" in vit["transformer"])
     if "extra_emb" in vit:
         cls = jnp.asarray(enc["cls_token"])          # (1, n_embd)
         vit["extra_emb"] = jnp.asarray(vit["extra_emb"]).at[0].set(cls[0])

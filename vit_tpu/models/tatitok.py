@@ -61,6 +61,7 @@ class TATiTokConfig:
     attn_impl: Optional[str] = None
     remat: bool = False
     quant: Optional[str] = None
+    scan_layers: bool = False
 
     def __post_init__(self):
         self.grid_size = self.image_size // self.patch_size
@@ -71,7 +72,7 @@ class TATiTokConfig:
         self.trans_config = bytedance_config(
             self.transformer, block_size=seq, dropout=0.0, dtype=self.dtype,
             param_dtype=self.param_dtype, attn_impl=self.attn_impl,
-            remat=self.remat, quant=self.quant)
+            remat=self.remat, quant=self.quant, scan_layers=self.scan_layers)
 
 
 def _conv_tn(features, kernel, dtype, param_dtype, name=None, strides=None,

@@ -40,6 +40,7 @@ class TiTokConfig:
     attn_impl: Optional[str] = None
     remat: bool = False
     quant: Optional[str] = None
+    scan_layers: bool = False
     quantizer: str = "vq"          # "vq" | "fsq" (the reference's intended-but-unwired
                                    # FSQ variant, SURVEY.md §2d quirk 8)
     fsq_levels: Optional[Tuple[int, ...]] = None
@@ -48,7 +49,8 @@ class TiTokConfig:
         self.grid_size = self.image_size // self.patch_size
         self.n_patches = self.grid_size ** 2
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype,
-                  attn_impl=self.attn_impl, remat=self.remat, quant=self.quant)
+                  attn_impl=self.attn_impl, remat=self.remat, quant=self.quant,
+                  scan_layers=self.scan_layers)
         # encoder ViT: image + K latent slots (reference train_titok.py:29)
         self.enc_vit_config = ViTConfig(self.image_size, 3, self.patch_size,
                                         self.transformer, self.latent_tokens, 0.0, **kw)

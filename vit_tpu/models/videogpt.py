@@ -40,6 +40,7 @@ class VideoGPTConfig:
     attn_impl: Optional[str] = None
     quant: Optional[str] = None
     remat: bool = False
+    scan_layers: bool = False
 
     def __post_init__(self):
         self.max_tokens = self.max_frames * self.frame_size
@@ -47,7 +48,7 @@ class VideoGPTConfig:
             block_size=self.max_tokens, dropout=self.dropout, causal=True,
             dtype=self.dtype, param_dtype=self.param_dtype,
             attn_impl=self.attn_impl, remat=self.remat,
-            quant=self.quant)
+            quant=self.quant, scan_layers=self.scan_layers)
         self.n_embd = self.trans_config.n_embd
 
 

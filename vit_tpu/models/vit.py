@@ -44,6 +44,7 @@ class ViTConfig:
     attn_impl: Optional[str] = None
     remat: bool = False
     quant: Optional[str] = None
+    scan_layers: bool = False
 
     def __post_init__(self):
         self.n_patches = (self.image_size // self.patch_size) ** 2
@@ -56,6 +57,7 @@ class ViTConfig:
             attn_impl=self.attn_impl,
             remat=self.remat,
             quant=self.quant,
+            scan_layers=self.scan_layers,
         )
 
 

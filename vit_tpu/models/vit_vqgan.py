@@ -38,6 +38,7 @@ class ViTVQGANConfig:
     remat: bool = False
     quantizer: str = "vq"
     fsq_levels: Optional[Tuple[int, ...]] = None
+    scan_layers: bool = False
 
     def __post_init__(self):
         self.grid_size = self.image_size // self.patch_size
@@ -45,7 +46,7 @@ class ViTVQGANConfig:
         self.latent_tokens = self.n_patches
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype,
                   attn_impl=self.attn_impl, remat=self.remat,
-                  quant=self.quant)
+                  quant=self.quant, scan_layers=self.scan_layers)
         self.enc_vit_config = ViTConfig(self.image_size, 3, self.patch_size,
                                         self.transformer, 0, 0.0, **kw)
         self.n_embd = self.enc_vit_config.trans_config.n_embd

@@ -17,39 +17,54 @@ inserts the all-reduce after row-parallel matmuls.
 
 from __future__ import annotations
 
+import re
 from typing import Any
 
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-_COLUMN_KERNELS = ("qkv", "fc1")
-_ROW_KERNELS = ("out_proj", "fc2")
+_COLUMN_KERNELS = ("qkv", "fc1", "to_qkv", "ff1")
+_ROW_KERNELS = ("out_proj", "fc2", "to_out", "ff2")
 
 
 def _path_str(path) -> str:
     return "/".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in path).lower()
 
 
-def spec_for(path: str, leaf) -> P:
-    ndim = leaf.ndim
+def _base_spec(path: str, ndim: int) -> tuple:
     is_kernel = path.endswith("kernel")
     parent = path.rsplit("/", 2)[-2] if "/" in path else ""
+    # the enhancing transformer's flat layout suffixes per-layer module names
+    # (ff1_0, attn_11, ...) — strip so both layouts hit one rule table
+    parent = re.sub(r"_\d+$", "", parent)
     if is_kernel and ndim == 2:
         if parent in _COLUMN_KERNELS:
-            return P("fsdp", "model")
+            return ("fsdp", "model")
         if parent in _ROW_KERNELS:
-            return P("model", "fsdp")
-        return P("fsdp", None)          # generic projections: shard the big dim
+            return ("model", "fsdp")
+        return ("fsdp", None)           # generic projections: shard the big dim
     if path.endswith("bias") and ndim == 1:
         if parent in _COLUMN_KERNELS:
-            return P("model")
-        return P()
+            return ("model",)
+        return ()
     if ndim == 2:                        # embeddings / codebooks (rows = vocab/pos)
         if "codebook" in path:
-            return P()                   # small; argmax over full codebook
-        return P(None, "fsdp")
-    return P()
+            return ()                    # small; argmax over full codebook
+        return (None, "fsdp")
+    return ()
+
+
+def spec_for(path: str, leaf) -> P:
+    ndim = leaf.ndim
+    # scan_layers stacks (core/transformer.py): every block param gains a
+    # leading n_layers axis under a "layers" segment — shard the underlying
+    # dims exactly as the unrolled layout would, replicate the layer axis
+    # (lax.scan slices it per step; sharding it would gather per iteration).
+    if "layers" in path.split("/") and ndim >= 1:
+        base = _base_spec(path, ndim - 1)
+        return P(None, *(base + (None,) * (ndim - 1 - len(base))))
+    return P(*_base_spec(path, ndim))
 
 
 def params_shardings(mesh: Mesh, params) -> Any:
