@@ -162,6 +162,7 @@ def make_code_loader(args):
 
 def main():
     from vit_tpu.utils.cache import enable_compilation_cache
+    from vit_tpu.train.distributed import pp_from_args
     enable_compilation_cache()
     args = parse_args()
     dtype = jnp.bfloat16 if args.mixed else jnp.float32
@@ -169,7 +170,9 @@ def main():
                                  args.latent_tokens, args.codebook_size,
                                  args.latent_dim, args.transformer,
                                  dtype=dtype, attn_impl=args.attn_impl,
-                                 scan_layers=args.scan_layers)
+                                 scan_layers=args.scan_layers,
+                                 pp_stages=pp_from_args(args),
+                                 pp_microbatches=args.pp_microbatches)
 
     project_name = ('titok-CE-imagenet' if args.dataset == 'imagenet'
                     else 'titok-CE-synthetic')

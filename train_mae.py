@@ -119,6 +119,7 @@ def get_loaders(args):
 
 def main():
     from vit_tpu.utils.cache import enable_compilation_cache
+    from vit_tpu.train.distributed import pp_from_args
     enable_compilation_cache()
     args = parse_args()
     dtype = jnp.bfloat16 if args.mixed else jnp.float32
@@ -126,7 +127,9 @@ def main():
                        args.transformer, args.mask_ratio, args.decoder_layers,
                        args.decoder_heads, args.decoder_embd, args.dropout,
                        args.norm_pix, dtype=dtype, attn_impl=args.attn_impl,
-                       scan_layers=args.scan_layers)
+                       scan_layers=args.scan_layers,
+                       pp_stages=pp_from_args(args),
+                       pp_microbatches=args.pp_microbatches)
 
     run_name = (f"mae_{args.patch_size}px_{args.image_size}px_{args.transformer}_"
                 f"{args.mask_ratio}mr_{args.bs}bs_{args.lr}lr")

@@ -71,13 +71,16 @@ def parse_args():
 
 def main():
     from vit_tpu.utils.cache import enable_compilation_cache
+    from vit_tpu.train.distributed import pp_from_args
     enable_compilation_cache()
     args = parse_args()
     dtype = jnp.bfloat16 if args.mixed else jnp.float32
     config = PuzzleConfig(args.image_size, args.in_channels, args.patch_size,
                           args.transformer, args.mask_ratio, args.dropout,
                           dtype=dtype, attn_impl=args.attn_impl,
-                          scan_layers=args.scan_layers)
+                          scan_layers=args.scan_layers,
+                          pp_stages=pp_from_args(args),
+                          pp_microbatches=args.pp_microbatches)
 
     run_name = (f"puzzle_{args.patch_size}px_{args.image_size}px_"
                 f"{args.transformer}_{args.mask_ratio}mr_{args.bs}bs_{args.lr}lr")

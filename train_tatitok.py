@@ -107,6 +107,7 @@ def get_loader(args):
 
 def main():
     from vit_tpu.utils.cache import enable_compilation_cache
+    from vit_tpu.train.distributed import pp_from_args
     enable_compilation_cache()
     args = parse_args()
     dtype = jnp.bfloat16 if args.mixed else jnp.float32
@@ -115,7 +116,9 @@ def main():
                            use_l2_norm=args.use_l2_norm,
                            clustering_vq=args.clustering_vq,
                            dtype=dtype, attn_impl=args.attn_impl,
-                           scan_layers=args.scan_layers)
+                           scan_layers=args.scan_layers,
+                           pp_stages=pp_from_args(args),
+                           pp_microbatches=args.pp_microbatches)
 
     project_name = f"titok-single-{args.dataset}"
     run_name = f"{args.transformer}_{args.latent_tokens}_{args.codebook_size}"

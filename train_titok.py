@@ -119,6 +119,7 @@ def get_loader(args):
 
 def main():
     from vit_tpu.utils.cache import enable_compilation_cache
+    from vit_tpu.train.distributed import pp_from_args
     enable_compilation_cache()
     args = parse_args()
     dtype = jnp.bfloat16 if args.mixed else jnp.float32
@@ -126,7 +127,9 @@ def main():
                                args.codebook_size, args.latent_dim, args.transformer,
                                dtype=dtype, attn_impl=args.attn_impl,
                                quantizer=args.quantizer,
-                               scan_layers=args.scan_layers)
+                               scan_layers=args.scan_layers,
+                               pp_stages=pp_from_args(args),
+                               pp_microbatches=args.pp_microbatches)
     if args.n_layers is not None:
         for name in ("enc_vit_config", "dec_vit_config"):
             sub = getattr(titok_config, name)

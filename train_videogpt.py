@@ -149,6 +149,7 @@ def make_videogpt_train_step(model: VideoGPT, tokenizer):
 
 def main():
     from vit_tpu.utils.cache import enable_compilation_cache
+    from vit_tpu.train.distributed import pp_from_args
     enable_compilation_cache()
     args = parse_args()
     dtype = jnp.bfloat16 if args.mixed else jnp.float32
@@ -162,7 +163,9 @@ def main():
     videogpt_config = VideoGPTConfig(args.frame_size, args.codebook_size,
                                      args.transformer, args.max_frames, args.dropout,
                                      dtype=dtype, attn_impl=args.attn_impl,
-                                     scan_layers=args.scan_layers)
+                                     scan_layers=args.scan_layers,
+                                     pp_stages=pp_from_args(args),
+                                     pp_microbatches=args.pp_microbatches)
     model = VideoGPT(videogpt_config)
 
     project_name = f"videogpt-{args.dataset}"

@@ -137,13 +137,16 @@ def get_loaders(args):
 
 def main():
     from vit_tpu.utils.cache import enable_compilation_cache
+    from vit_tpu.train.distributed import pp_from_args
     enable_compilation_cache()
     args = parse_args()
     dtype = jnp.bfloat16 if args.mixed else jnp.float32
     vit_config = ViTConfig(args.image_size, args.in_channels, args.patch_size,
                            args.transformer, args.extra_tokens, args.dropout,
                            dtype=dtype, attn_impl=args.attn_impl,
-                           scan_layers=args.scan_layers)
+                           scan_layers=args.scan_layers,
+                           pp_stages=pp_from_args(args),
+                           pp_microbatches=args.pp_microbatches)
 
     run_name = (f"{args.patch_size}px_{args.image_size}px_{args.transformer}_"
                 f"{args.bs}bs_{args.lr}lr_{args.dropout}drp")

@@ -51,6 +51,18 @@ class TransformerConfig:
                                              # layers/... with a leading
                                              # n_layers axis (converters in
                                              # core/transformer.py)
+    pp_stages: int = 0                       # >1: GPipe-style pipeline
+                                             # parallelism over the stack —
+                                             # params gain a leading (stages,
+                                             # layers_per_stage) shape, sharded
+                                             # over the mesh "pipe" axis; pure
+                                             # GSPMD (nn.scan ticks × nn.vmap
+                                             # stages; the stage shift lowers
+                                             # to collective-permute). See
+                                             # core/transformer.py.
+    pp_microbatches: int = 0                 # pipeline microbatches M (0 with
+                                             # pp_stages>1 = 2*stages); bubble
+                                             # fraction = (S-1)/(M+S-1)
     # Author's minimal core uses F.layer_norm without learnable affine params
     # (reference: transformer.py:43-44); the Bytedance core uses nn.LayerNorm with
     # affine (reference: blocks.py:43). Both behaviors are config-selectable.

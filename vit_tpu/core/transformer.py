@@ -355,7 +355,16 @@ class Transformer(nn.Module):
     Param tree: ``layers/{ln*,attn,mlp}/...`` with a leading ``n_layers`` axis,
     vs the unrolled ``layer_{i}/...`` — convert with
     ``stack_layer_params``/``unstack_layer_params``. KV-cache decode works
-    scanned too (the cache collection gains the same leading axis)."""
+    scanned too (the cache collection gains the same leading axis).
+
+    ``cfg.pp_stages > 1`` adds GPipe-style pipeline parallelism on top of the
+    stacked layout: params reshape to a leading ``(stages, layers_per_stage)``
+    and the stage axis shards over the mesh "pipe" axis (parallel/sharding.py).
+    The schedule is pure GSPMD — a ``nn.scan`` tick loop over an ``nn.vmap``
+    of per-stage layer scans, with the stage→stage activation handoff as a
+    ``jnp.roll`` on the pipe-sharded axis (XLA lowers it to collective-permute
+    over ICI). No manual collectives, so autodiff/optimizer/checkpoint paths
+    are unchanged. See :meth:`_pipeline` for the schedule."""
 
     config: TransformerConfig
 
@@ -363,6 +372,13 @@ class Transformer(nn.Module):
     def __call__(self, x, deterministic: bool = True, decode_pos=None):
         cfg = self.config
         x = x.astype(cfg.dtype)
+        if cfg.pp_stages > 1:
+            if decode_pos is not None:
+                raise NotImplementedError(
+                    "KV-cache decode under pipeline parallelism is not "
+                    "supported; pp_stages is a training-time feature "
+                    "(export/serve artifacts from the converted checkpoint)")
+            return self._pipeline(x, deterministic)
         if cfg.scan_layers:
             block = _ScanBlock
             if cfg.remat and decode_pos is None:
@@ -386,6 +402,85 @@ class Transformer(nn.Module):
                                                   decode_pos)
         return x
 
+    def _pipeline(self, x, deterministic: bool):
+        """GPipe schedule over the stacked stack, expressed in pure GSPMD.
+
+        The batch splits into M microbatches; a tick loop of ``M + S - 1``
+        iterations advances a ``(S, mb, T, D)`` state array where slot ``s``
+        holds the microbatch currently inside stage ``s``. Every tick, all
+        stages apply their local layers in parallel (an ``nn.vmap`` over the
+        stage axis of the params — GSPMD partitions it along "pipe" so each
+        device computes only its own stage), the last stage's output is
+        collected, and the state rolls one slot forward (``jnp.roll`` on the
+        pipe-sharded axis → one collective-permute per tick). Bubble fraction
+        is ``(S-1)/(M+S-1)``; compute on not-yet-fed / drained slots is the
+        bubble. Math is microbatch-independent, so outputs equal the
+        ``scan_layers`` stack exactly (dropout streams differ: they split per
+        (tick, stage) rather than per layer)."""
+        cfg = self.config
+        S_ = cfg.pp_stages
+        if cfg.n_layers % S_:
+            raise ValueError(f"n_layers={cfg.n_layers} not divisible by "
+                             f"pp_stages={S_}")
+        M = cfg.pp_microbatches or 2 * S_
+        b, tok, d = x.shape
+        if b % M:
+            # init (b=1) and odd eval batches still run correctly: one
+            # microbatch, S_ ticks, no overlap. Training batches should
+            # divide pp_microbatches for real pipelining.
+            M = 1
+        mb = b // M
+        # The fused Pallas attention kernel has no batching rule under the
+        # stage-vmap; the XLA attention path vectorizes/shards cleanly.
+        cfg_pp = cfg.replace(attn_impl="xla")
+
+        block = _ScanBlock
+        if cfg.remat:
+            block = nn.remat(block, static_argnums=(2,), prevent_cse=False)
+        stage = nn.scan(
+            block,
+            variable_axes={"params": 0},
+            split_rngs={"params": True, "dropout": True},
+            length=cfg.n_layers // S_,
+            in_axes=(nn.broadcast, nn.broadcast),
+            metadata_params={nn.meta.PARTITION_NAME: None},
+        )
+        stages = nn.vmap(
+            stage,
+            variable_axes={"params": 0},
+            split_rngs={"params": True, "dropout": True},
+            in_axes=(0, None, None),
+            out_axes=0,
+            metadata_params={nn.meta.PARTITION_NAME: None},
+        )
+        stages_mod = stages(cfg_pp, name="layers")
+
+        # microbatch m takes batch rows m::M — the strided reshape keeps the
+        # data-parallel shard dimension (mb) outermost-contiguous so the
+        # "data" sharding lands on mb, not on the microbatch loop axis
+        xs = x.reshape(mb, M, tok, d).transpose(1, 0, 2, 3)
+
+        def tick(mod, carry, t):
+            state, outs = carry
+            feed = jax.lax.dynamic_index_in_dim(
+                xs, jnp.clip(t, 0, M - 1), 0, keepdims=False)
+            state = state.at[0].set(jnp.where(t < M, feed, state[0]))
+            y, _ = mod(state, deterministic, None)
+            cidx = jnp.clip(t - (S_ - 1), 0, M - 1)
+            cur = jax.lax.dynamic_index_in_dim(outs, cidx, 0, keepdims=False)
+            outs = jax.lax.dynamic_update_index_in_dim(
+                outs, jnp.where(t >= S_ - 1, y[-1], cur), cidx, 0)
+            return (jnp.roll(y, 1, axis=0), outs), None
+
+        carry0 = (jnp.zeros((S_, mb, tok, d), cfg.dtype),
+                  jnp.zeros((M, mb, tok, d), cfg.dtype))
+        ticks = nn.scan(tick,
+                        variable_broadcast="params",
+                        split_rngs={"params": False, "dropout": True},
+                        length=M + S_ - 1)
+        (_, outs), _ = ticks(stages_mod, carry0, jnp.arange(M + S_ - 1))
+        return outs.transpose(1, 0, 2, 3).reshape(b, tok, d)
+
 
 def stack_layer_params(tree: dict, n_layers: int) -> dict:
     """Unrolled transformer params (``layer_0..layer_{N-1}``) → the scanned
@@ -408,13 +503,63 @@ def unstack_layer_params(tree: dict) -> dict:
     return out
 
 
-def convert_stack_layout(tree: dict, scan_layers: bool) -> dict:
+def _n_lead_axes(layers: dict) -> int:
+    """Leading stack axes on the block params: 1 = scan layout (n_layers,...),
+    2 = pipeline layout (stages, layers_per_stage, ...). Probed off a kernel
+    leaf (always 2-D underneath)."""
+    for path, leaf in jax.tree_util.tree_leaves_with_path(layers):
+        if getattr(path[-1], "key", "") in ("kernel", "kernel_q"):
+            return leaf.ndim - 2
+    raise ValueError("no kernel leaf under the layers subtree")
+
+
+def pipeline_layer_params(tree: dict, pp_stages: int) -> dict:
+    """Scanned layout (leading ``n_layers`` axis) → the pipeline layout
+    (leading ``(pp_stages, n_layers // pp_stages)`` axes) — a pure reshape."""
+    stacked = tree["layers"]
+    out = {k: v for k, v in tree.items() if k != "layers"}
+    out["layers"] = jax.tree.map(
+        lambda x: x.reshape((pp_stages, x.shape[0] // pp_stages) + x.shape[1:]),
+        stacked)
+    return out
+
+
+def unpipeline_layer_params(tree: dict) -> dict:
+    """Inverse of :func:`pipeline_layer_params`."""
+    stacked = tree["layers"]
+    out = {k: v for k, v in tree.items() if k != "layers"}
+    out["layers"] = jax.tree.map(
+        lambda x: x.reshape((x.shape[0] * x.shape[1],) + x.shape[2:]), stacked)
+    return out
+
+
+def convert_stack_layout(tree: dict, scan_layers: bool,
+                         pp_stages: int = 0) -> dict:
     """Normalize a Transformer param subtree to the requested layout — no-op
-    when it already matches. Lets checkpoints cross the scan_layers boundary
-    (e.g. an unrolled MAE pretrain fine-tuned with --scan_layers true)."""
-    if scan_layers and any(k.startswith("layer_") for k in tree):
-        return stack_layer_params(
-            tree, sum(k.startswith("layer_") for k in tree))
-    if not scan_layers and "layers" in tree:
-        return unstack_layer_params(tree)
+    when it already matches. Lets checkpoints cross the scan_layers /
+    pp_stages boundaries (e.g. an unrolled MAE pretrain fine-tuned with
+    --scan_layers true, or a --mesh ...,pp checkpoint exported for serving)."""
+    if "layers" in tree and _n_lead_axes(tree["layers"]) == 2:
+        tree = unpipeline_layer_params(tree)     # pipeline → scan first
+    if scan_layers or pp_stages > 1:
+        if any(k.startswith("layer_") for k in tree):
+            tree = stack_layer_params(
+                tree, sum(k.startswith("layer_") for k in tree))
+    elif "layers" in tree:
+        tree = unstack_layer_params(tree)
+    if pp_stages > 1:
+        tree = pipeline_layer_params(tree, pp_stages)
     return tree
+
+
+def match_stack_layout(tree: dict, like: dict) -> dict:
+    """Convert a Transformer param subtree to the stack layout of ``like``
+    (unrolled / scan / pipeline, stages inferred from ``like``'s leading
+    axis) — for checkpoint hand-offs where the target layout is whatever the
+    fine-tune run was configured with (e.g. models/mae.py)."""
+    if "layers" not in like:
+        return convert_stack_layout(tree, scan_layers=False)
+    if _n_lead_axes(like["layers"]) == 2:
+        stages = jax.tree_util.tree_leaves(like["layers"])[0].shape[0]
+        return convert_stack_layout(tree, scan_layers=True, pp_stages=stages)
+    return convert_stack_layout(tree, scan_layers=True)

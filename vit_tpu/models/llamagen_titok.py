@@ -47,13 +47,16 @@ class LlamaGenTiTokConfig:
     quant: Optional[str] = None
     remat: bool = False
     scan_layers: bool = False
+    pp_stages: int = 0
+    pp_microbatches: int = 0
 
     def __post_init__(self):
         self.trans_config: TransformerConfig = transformer_configs[self.transformer](
             block_size=self.vq_latent_tokens + self.latent_tokens, dropout=0.0,
             dtype=self.dtype, param_dtype=self.param_dtype,
             attn_impl=self.attn_impl, remat=self.remat,
-            quant=self.quant, scan_layers=self.scan_layers)
+            quant=self.quant, scan_layers=self.scan_layers,
+            pp_stages=self.pp_stages, pp_microbatches=self.pp_microbatches)
         self.n_embd = self.trans_config.n_embd
 
 

@@ -64,6 +64,8 @@ class MAEConfig:
     remat: bool = False
     quant: Optional[str] = None
     scan_layers: bool = False
+    pp_stages: int = 0
+    pp_microbatches: int = 0
 
     def __post_init__(self):
         self.n_patches = (self.image_size // self.patch_size) ** 2
@@ -74,13 +76,15 @@ class MAEConfig:
         self.enc_config: TransformerConfig = transformer_configs[self.transformer](
             block_size=self.len_keep + 1, dropout=self.dropout, dtype=self.dtype,
             param_dtype=self.param_dtype, attn_impl=self.attn_impl, remat=self.remat,
-            quant=self.quant, scan_layers=self.scan_layers)
+            quant=self.quant, scan_layers=self.scan_layers,
+            pp_stages=self.pp_stages, pp_microbatches=self.pp_microbatches)
         self.dec_config = TransformerConfig(
             n_layers=self.decoder_layers, n_heads=self.decoder_heads,
             n_embd=self.decoder_embd, block_size=self.n_patches + 1,
             dropout=self.dropout, dtype=self.dtype, param_dtype=self.param_dtype,
             attn_impl=self.attn_impl, remat=self.remat, quant=self.quant,
-            scan_layers=self.scan_layers)
+            scan_layers=self.scan_layers,
+            pp_stages=self.pp_stages, pp_microbatches=self.pp_microbatches)
 
 
 def random_masking(rng, batch: int, n: int, len_keep: int):
@@ -217,16 +221,16 @@ def load_encoder_into_vit(mae_params, vit_params):
     """
     import copy
 
-    from vit_tpu.core.transformer import convert_stack_layout
+    from vit_tpu.core.transformer import match_stack_layout
 
     new = copy.deepcopy(vit_params)
     enc = mae_params["encoder"]
     vit = new["vit"]
     vit["patch_proj"] = copy.deepcopy(enc["patch_proj"])
     # normalize to the target's stack layout so a pretrain and a fine-tune may
-    # disagree on scan_layers (core/transformer.py)
-    vit["transformer"] = convert_stack_layout(
-        copy.deepcopy(enc["transformer"]), "layers" in vit["transformer"])
+    # disagree on scan_layers / pp_stages (core/transformer.py)
+    vit["transformer"] = match_stack_layout(
+        copy.deepcopy(enc["transformer"]), vit["transformer"])
     if "extra_emb" in vit:
         cls = jnp.asarray(enc["cls_token"])          # (1, n_embd)
         vit["extra_emb"] = jnp.asarray(vit["extra_emb"]).at[0].set(cls[0])

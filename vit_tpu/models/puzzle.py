@@ -49,6 +49,8 @@ class PuzzleConfig:
     remat: bool = False
     quant: Optional[str] = None
     scan_layers: bool = False
+    pp_stages: int = 0
+    pp_microbatches: int = 0
 
     def __post_init__(self):
         self.n_patches = (self.image_size // self.patch_size) ** 2
@@ -56,7 +58,8 @@ class PuzzleConfig:
         self.trans_config: TransformerConfig = transformer_configs[self.transformer](
             block_size=self.n_patches, dropout=self.dropout, dtype=self.dtype,
             param_dtype=self.param_dtype, attn_impl=self.attn_impl,
-            remat=self.remat, quant=self.quant, scan_layers=self.scan_layers)
+            remat=self.remat, quant=self.quant, scan_layers=self.scan_layers,
+            pp_stages=self.pp_stages, pp_microbatches=self.pp_microbatches)
 
 
 class Puzzle(nn.Module):
@@ -94,15 +97,14 @@ def load_puzzle_into_vit(puzzle_params, vit_params):
     embeddings and classifier head keep their fresh init."""
     import copy
 
-    from vit_tpu.core.transformer import convert_stack_layout
+    from vit_tpu.core.transformer import match_stack_layout
 
     new = copy.deepcopy(vit_params)
     vit = new["vit"]
     vit["patch_proj"] = copy.deepcopy(puzzle_params["patch_proj"])
     # normalize to the target's stack layout (see mae.load_encoder_into_vit)
-    vit["transformer"] = convert_stack_layout(
-        copy.deepcopy(puzzle_params["transformer"]),
-        "layers" in vit["transformer"])
+    vit["transformer"] = match_stack_layout(
+        copy.deepcopy(puzzle_params["transformer"]), vit["transformer"])
     vit["pos_emb"] = jnp.asarray(puzzle_params["pos_emb"])
     return new
 

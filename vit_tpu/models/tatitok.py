@@ -62,6 +62,8 @@ class TATiTokConfig:
     remat: bool = False
     quant: Optional[str] = None
     scan_layers: bool = False
+    pp_stages: int = 0
+    pp_microbatches: int = 0
 
     def __post_init__(self):
         self.grid_size = self.image_size // self.patch_size
@@ -72,7 +74,8 @@ class TATiTokConfig:
         self.trans_config = bytedance_config(
             self.transformer, block_size=seq, dropout=0.0, dtype=self.dtype,
             param_dtype=self.param_dtype, attn_impl=self.attn_impl,
-            remat=self.remat, quant=self.quant, scan_layers=self.scan_layers)
+            remat=self.remat, quant=self.quant, scan_layers=self.scan_layers,
+            pp_stages=self.pp_stages, pp_microbatches=self.pp_microbatches)
 
 
 def _conv_tn(features, kernel, dtype, param_dtype, name=None, strides=None,

@@ -41,6 +41,8 @@ class TiTokConfig:
     remat: bool = False
     quant: Optional[str] = None
     scan_layers: bool = False
+    pp_stages: int = 0
+    pp_microbatches: int = 0
     quantizer: str = "vq"          # "vq" | "fsq" (the reference's intended-but-unwired
                                    # FSQ variant, SURVEY.md §2d quirk 8)
     fsq_levels: Optional[Tuple[int, ...]] = None
@@ -50,7 +52,8 @@ class TiTokConfig:
         self.n_patches = self.grid_size ** 2
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype,
                   attn_impl=self.attn_impl, remat=self.remat, quant=self.quant,
-                  scan_layers=self.scan_layers)
+                  scan_layers=self.scan_layers, pp_stages=self.pp_stages,
+                  pp_microbatches=self.pp_microbatches)
         # encoder ViT: image + K latent slots (reference train_titok.py:29)
         self.enc_vit_config = ViTConfig(self.image_size, 3, self.patch_size,
                                         self.transformer, self.latent_tokens, 0.0, **kw)

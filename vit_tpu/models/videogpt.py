@@ -41,6 +41,8 @@ class VideoGPTConfig:
     quant: Optional[str] = None
     remat: bool = False
     scan_layers: bool = False
+    pp_stages: int = 0
+    pp_microbatches: int = 0
 
     def __post_init__(self):
         self.max_tokens = self.max_frames * self.frame_size
@@ -48,7 +50,8 @@ class VideoGPTConfig:
             block_size=self.max_tokens, dropout=self.dropout, causal=True,
             dtype=self.dtype, param_dtype=self.param_dtype,
             attn_impl=self.attn_impl, remat=self.remat,
-            quant=self.quant, scan_layers=self.scan_layers)
+            quant=self.quant, scan_layers=self.scan_layers,
+            pp_stages=self.pp_stages, pp_microbatches=self.pp_microbatches)
         self.n_embd = self.trans_config.n_embd
 
 
@@ -150,6 +153,18 @@ def generate(model: VideoGPT, params, tokens: jax.Array, n: int, *,
     fixed rng is reproducible).
     """
     cfg = model.config
+    if cfg.pp_stages > 1:
+        # pp is a training-time schedule; the KV-cache decode runs the scanned
+        # stack instead, on reshaped params (a free reshape inside the jit) —
+        # so in-training rollout evals work under a --mesh ...,pp run.
+        from vit_tpu.core.transformer import convert_stack_layout
+
+        model = VideoGPT(dataclasses.replace(cfg, pp_stages=0,
+                                             scan_layers=True))
+        params = dict(params)
+        params["transformer"] = convert_stack_layout(
+            dict(params["transformer"]), scan_layers=True)
+        cfg = model.config
     b, cond_len = tokens.shape
     total = cond_len + n
     assert total <= cfg.max_tokens, (total, cfg.max_tokens)

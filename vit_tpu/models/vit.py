@@ -45,6 +45,8 @@ class ViTConfig:
     remat: bool = False
     quant: Optional[str] = None
     scan_layers: bool = False
+    pp_stages: int = 0
+    pp_microbatches: int = 0
 
     def __post_init__(self):
         self.n_patches = (self.image_size // self.patch_size) ** 2
@@ -58,6 +60,8 @@ class ViTConfig:
             remat=self.remat,
             quant=self.quant,
             scan_layers=self.scan_layers,
+            pp_stages=self.pp_stages,
+            pp_microbatches=self.pp_microbatches,
         )
 
 

@@ -39,6 +39,8 @@ class ViTVQGANConfig:
     quantizer: str = "vq"
     fsq_levels: Optional[Tuple[int, ...]] = None
     scan_layers: bool = False
+    pp_stages: int = 0
+    pp_microbatches: int = 0
 
     def __post_init__(self):
         self.grid_size = self.image_size // self.patch_size
@@ -46,7 +48,9 @@ class ViTVQGANConfig:
         self.latent_tokens = self.n_patches
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype,
                   attn_impl=self.attn_impl, remat=self.remat,
-                  quant=self.quant, scan_layers=self.scan_layers)
+                  quant=self.quant, scan_layers=self.scan_layers,
+                  pp_stages=self.pp_stages,
+                  pp_microbatches=self.pp_microbatches)
         self.enc_vit_config = ViTConfig(self.image_size, 3, self.patch_size,
                                         self.transformer, 0, 0.0, **kw)
         self.n_embd = self.enc_vit_config.trans_config.n_embd

@@ -26,15 +26,24 @@ AXES = ("data", "fsdp", "model")
 
 
 def make_mesh(dp: Optional[int] = None, fsdp: int = 1, tp: int = 1,
-              devices: Optional[Sequence] = None) -> Mesh:
+              devices: Optional[Sequence] = None, pp: int = 1) -> Mesh:
     """Build a ("data", "fsdp", "model") mesh. With dp=None, the data axis absorbs
-    all devices not used by fsdp/tp."""
+    all devices not used by fsdp/tp/pp.
+
+    ``pp > 1`` prepends a "pipe" axis (→ ("pipe", "data", "fsdp", "model")):
+    pipeline stages live on the OUTERMOST axis so stage→stage permutes ride
+    the slowest links (DCN across slices) while dp/fsdp/tp collectives stay on
+    ICI — the pipeline tolerates latency (one activation handoff per tick),
+    the others do not. With pp == 1 the mesh is exactly the 3-axis layout."""
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if dp is None:
-        assert n % (fsdp * tp) == 0, (n, fsdp, tp)
-        dp = n // (fsdp * tp)
-    assert dp * fsdp * tp == n, f"mesh {dp}x{fsdp}x{tp} != {n} devices"
+        assert n % (fsdp * tp * pp) == 0, (n, fsdp, tp, pp)
+        dp = n // (fsdp * tp * pp)
+    assert dp * fsdp * tp * pp == n, f"mesh {dp}x{fsdp}x{tp}x{pp} != {n} devices"
+    if pp > 1:
+        arr = np.asarray(devices).reshape(pp, dp, fsdp, tp)
+        return Mesh(arr, ("pipe",) + AXES)
     arr = np.asarray(devices).reshape(dp, fsdp, tp)
     return Mesh(arr, AXES)
 

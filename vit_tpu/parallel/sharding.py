@@ -57,21 +57,39 @@ def _base_spec(path: str, ndim: int) -> tuple:
 
 def spec_for(path: str, leaf) -> P:
     ndim = leaf.ndim
-    # scan_layers stacks (core/transformer.py): every block param gains a
-    # leading n_layers axis under a "layers" segment — shard the underlying
-    # dims exactly as the unrolled layout would, replicate the layer axis
-    # (lax.scan slices it per step; sharding it would gather per iteration).
+    # Stacked-layer layouts (core/transformer.py): under a "layers" segment,
+    # block params gain leading stack axes over their base shape (kernels are
+    # 2-D underneath, everything else 1-D):
+    #   1 lead axis  — scan_layers (n_layers, ...): replicate it (lax.scan
+    #     slices it per step; sharding it would gather per iteration);
+    #   2 lead axes  — pp_stages (stages, layers_per_stage, ...): the stage
+    #     axis shards over "pipe" (each device holds its own stage's layers),
+    #     the within-stage layer axis replicates.
+    # The base dims shard exactly as the unrolled layout would.
     if "layers" in path.split("/") and ndim >= 1:
-        base = _base_spec(path, ndim - 1)
-        return P(None, *(base + (None,) * (ndim - 1 - len(base))))
+        base_ndim = 2 if path.endswith(("kernel", "kernel_q")) else 1
+        n_lead = ndim - base_ndim
+        lead = {1: (None,), 2: ("pipe", None)}.get(n_lead)
+        if lead is None:
+            return P()
+        base = _base_spec(path, base_ndim)
+        return P(*lead, *(base + (None,) * (base_ndim - len(base))))
     return P(*_base_spec(path, ndim))
+
+
+def _mesh_spec(mesh: Mesh, spec: P) -> P:
+    """Drop axis names the mesh does not have (e.g. "pipe" on a 3-axis
+    dp×fsdp×tp mesh: pipeline-layout params then replicate the stage axis)."""
+    names = set(mesh.axis_names)
+    return P(*[a if a in names else None for a in spec])
 
 
 def params_shardings(mesh: Mesh, params) -> Any:
     """PartitionSpec tree (as NamedShardings) for a param pytree."""
 
     def assign(path, leaf):
-        return NamedSharding(mesh, spec_for(_path_str(path), leaf))
+        return NamedSharding(mesh, _mesh_spec(mesh, spec_for(_path_str(path),
+                                                             leaf)))
 
     return jax.tree_util.tree_map_with_path(assign, params)
 
@@ -84,6 +102,6 @@ def state_shardings(mesh: Mesh, state) -> Any:
         p = _path_str(path)
         if getattr(leaf, "ndim", 0) == 0:
             return NamedSharding(mesh, P())
-        return NamedSharding(mesh, spec_for(p, leaf))
+        return NamedSharding(mesh, _mesh_spec(mesh, spec_for(p, leaf)))
 
     return jax.tree_util.tree_map_with_path(assign, state)

@@ -37,39 +37,79 @@ from vit_tpu.parallel.sharding import params_shardings, state_shardings
 
 
 def add_mesh_args(parser) -> None:
-    """Shared CLI surface (all seven entry points)."""
+    """Shared CLI surface (all entry points)."""
     parser.add_argument(
         "--mesh", type=str, default=None,
-        help="dp,fsdp,tp device mesh (e.g. '2,2,2'; -1 absorbs remaining devices). "
-             "Default: all local devices on the data axis. Multi-host: set "
-             "JAX_COORDINATOR/JAX_NUM_PROCESSES/JAX_PROCESS_ID and run the same "
-             "command on every host.")
+        help="dp,fsdp,tp[,pp] device mesh (e.g. '2,2,2' or '2,1,1,4'; -1 "
+             "absorbs remaining devices). pp>1 = GPipe pipeline parallelism "
+             "over the transformer stacks (requires a model wired for "
+             "pp_stages; see core/transformer.py). Default: all local devices "
+             "on the data axis. Multi-host: set JAX_COORDINATOR/"
+             "JAX_NUM_PROCESSES/JAX_PROCESS_ID and run the same command on "
+             "every host.")
+    parser.add_argument(
+        "--pp_microbatches", type=int, default=0,
+        help="pipeline microbatches M with a pp>1 mesh (0 = 2*pp_stages); "
+             "bubble fraction = (pp-1)/(M+pp-1); --bs must divide by M")
 
 
-def parse_mesh_spec(spec: Optional[str], n_devices: int) -> Tuple[int, int, int]:
-    """'dp,fsdp,tp' → concrete axis sizes; one axis may be -1 (absorb the rest)."""
+def parse_mesh_spec(spec: Optional[str],
+                    n_devices: int) -> Tuple[int, int, int, int]:
+    """'dp,fsdp,tp[,pp]' → concrete axis sizes; one axis may be -1 (absorb
+    the rest)."""
     if spec is None:
-        return n_devices, 1, 1
+        return n_devices, 1, 1, 1
     parts = [int(p) for p in spec.split(",")]
-    assert len(parts) == 3, f"--mesh wants dp,fsdp,tp, got {spec!r}"
+    assert len(parts) in (3, 4), f"--mesh wants dp,fsdp,tp[,pp], got {spec!r}"
+    if len(parts) == 3:
+        parts.append(1)
     if -1 in parts:
         assert parts.count(-1) == 1, f"only one -1 axis allowed: {spec!r}"
         known = int(np.prod([p for p in parts if p != -1]))
         assert n_devices % known == 0, (spec, n_devices)
         parts[parts.index(-1)] = n_devices // known
-    dp, fsdp, tp = parts
-    assert 0 < dp * fsdp * tp <= n_devices, \
-        f"--mesh {dp}x{fsdp}x{tp} exceeds {n_devices} devices"
-    return dp, fsdp, tp
+    dp, fsdp, tp, pp = parts
+    assert 0 < dp * fsdp * tp * pp <= n_devices, \
+        f"--mesh {dp}x{fsdp}x{tp}x{pp} exceeds {n_devices} devices"
+    return dp, fsdp, tp, pp
+
+
+def pp_from_args(args) -> int:
+    """Pipeline-stage count implied by --mesh (0 when no pipe axis) — the
+    entry points thread this into the model config as ``pp_stages`` BEFORE
+    building the MeshRunner, since the pipeline schedule lives in the model
+    (core/transformer.py), not the step wrapper.
+
+    Parsed textually: touching ``jax.device_count()`` here would initialize
+    the backend before ``maybe_init_distributed()`` runs, so a multi-host
+    worker would see only its local devices (and full validation happens in
+    :func:`maybe_mesh_runner` anyway). Only a ``-1`` pipe axis needs the real
+    device count, so only that case brings the distributed backend up."""
+    spec = getattr(args, "mesh", None)
+    if spec is None:
+        return 0
+    parts = [int(p) for p in spec.split(",")]
+    if len(parts) < 4:
+        return 0
+    if parts[3] == -1:
+        maybe_init_distributed()
+        return parse_mesh_spec(spec, jax.device_count())[3]
+    return parts[3]
+
+
+_distributed_up = False
 
 
 def maybe_init_distributed() -> None:
-    """Multi-host bring-up when JAX_COORDINATOR is set (no-op otherwise).
+    """Multi-host bring-up when JAX_COORDINATOR is set (no-op otherwise;
+    idempotent — callable from both pp_from_args and maybe_mesh_runner).
 
     JAX_COORDINATOR=auto relies on Cloud TPU metadata auto-detection."""
+    global _distributed_up
     coord = os.environ.get("JAX_COORDINATOR")
-    if not coord:
+    if not coord or _distributed_up:
         return
+    _distributed_up = True
     if coord == "auto":
         init_distributed()
     else:
@@ -159,14 +199,15 @@ def maybe_mesh_runner(args) -> Optional[MeshRunner]:
     spec = getattr(args, "mesh", None)
     if spec is None and n == 1:
         return None
-    dp, fsdp, tp = parse_mesh_spec(spec, n)
-    if dp * fsdp * tp == 1:
+    dp, fsdp, tp, pp = parse_mesh_spec(spec, n)
+    if dp * fsdp * tp * pp == 1:
         return None
-    # an explicit --mesh smaller than the host takes the first dp*fsdp*tp devices
-    devices = jax.devices()[:dp * fsdp * tp]
-    runner = MeshRunner(make_mesh(dp=dp, fsdp=fsdp, tp=tp, devices=devices))
+    # an explicit --mesh smaller than the host takes the first devices
+    devices = jax.devices()[:dp * fsdp * tp * pp]
+    runner = MeshRunner(make_mesh(dp=dp, fsdp=fsdp, tp=tp, pp=pp,
+                                  devices=devices))
     if jax.process_index() == 0:
-        print(f"MESH: dp={dp} fsdp={fsdp} tp={tp} over {n} devices "
+        print(f"MESH: dp={dp} fsdp={fsdp} tp={tp} pp={pp} over {n} devices "
               f"({jax.process_count()} process(es))")
     return runner
 
