@@ -1,17 +1,26 @@
 """Multi-host (multi-process) training smoke through the REAL entry point.
 
 Launches N=2 worker processes on localhost (each a separate JAX process with its own
-4-device virtual CPU platform), each running ``train_titok.py --mesh 2,2,2`` — the
+4-device virtual CPU platform), each running ``train_titok.py --mesh ...`` — the
 same command a user runs on a real multi-host TPU pod — with the multi-host bring-up
 driven entirely by the shared env-var contract in vit_tpu/train/distributed.py:
 
     JAX_COORDINATOR=127.0.0.1:<port>  JAX_NUM_PROCESSES=2  JAX_PROCESS_ID=<i>
 
-The global mesh is dp=2 x fsdp=2 x tp=2 over 8 devices spanning both processes, so
-this exercises, end-to-end through the script path: jax.distributed bring-up, global
-batch assembly from per-process shards (``MeshRunner.put_batch`` →
-``make_array_from_process_local_data``), GSPMD collectives across the process
-boundary, proc-0-only logging, and the collective orbax checkpoint save.
+Two arms:
+
+  1. ``--mesh 2,2,2`` — one global dp=2 x fsdp=2 x tp=2 mesh over 8 devices
+     spanning both processes: jax.distributed bring-up, global batch assembly
+     from per-process shards (``MeshRunner.put_batch`` →
+     ``make_array_from_process_local_data``), GSPMD collectives across the
+     process boundary, proc-0-only logging, collective orbax checkpoint save.
+  2. ``--mesh 4,1,1,2`` — dp=4 x pipe=2 with the OUTERMOST pipe axis split
+     across the two processes (jax.devices() orders by process, and
+     parallel/mesh.py reshapes (pp, dp, fsdp, tp)), so pipeline stage 0 lives
+     entirely on worker 0's devices and stage 1 on worker 1's: every
+     stage→stage activation handoff (the collective-permute from jnp.roll in
+     core/transformer.py:_pipeline) crosses the process boundary — the
+     "pipe rides DCN" placement claim of docs/PARALLELISM.md, executed.
 
 This is the bring-up recipe for a real Cloud TPU pod: same command per host with
 JAX_COORDINATOR=auto (metadata auto-detection) and real chips instead of the
@@ -35,7 +44,7 @@ DEVICES_PER_PROC = 4
 PORT = 9723
 
 
-def launch() -> int:
+def run_arm(mesh: str, port: int, extra_args=()) -> int:
     tmp = tempfile.mkdtemp(prefix="multihost_smoke_")
     procs = []
     for pid in range(N_PROC):
@@ -46,19 +55,19 @@ def launch() -> int:
             f"--xla_force_host_platform_device_count={DEVICES_PER_PROC}")
         env["XLA_FLAGS"] = " ".join(flags)
         env["JAX_PLATFORMS"] = "cpu"
-        env["JAX_COORDINATOR"] = f"127.0.0.1:{PORT}"
+        env["JAX_COORDINATOR"] = f"127.0.0.1:{port}"
         env["JAX_NUM_PROCESSES"] = str(N_PROC)
         env["JAX_PROCESS_ID"] = str(pid)
         cmd = [sys.executable, str(REPO / "train_titok.py"),
-               "--dataset", "synthetic", "--mesh", "2,2,2",
-               # --bs is per process; global batch = 4 x 2 = 8 over dp=2
+               "--dataset", "synthetic", "--mesh", mesh,
+               # --bs is per process; global batch = 4 x 2 = 8
                "--bs", "4", "--image_size", "32", "--patch_size", "8",
                "--latent_tokens", "16", "--codebook_size", "64",
                "--transformer", "S", "--n_layers", "2", "--mixed", "false",
                "--attn_impl", "xla", "--epochs", "1", "--steps_per_epoch", "2",
                "--log_every", "1", "--image_every", "1000", "--train_steps", "10",
                "--warmup_steps", "2", "--no_wandb",
-               "--ckpt_dir", os.path.join(tmp, "ckpt")]
+               "--ckpt_dir", os.path.join(tmp, "ckpt")] + list(extra_args)
         procs.append(subprocess.Popen(cmd, env=env, cwd=tmp,
                                       stdout=subprocess.PIPE,
                                       stderr=subprocess.STDOUT, text=True))
@@ -75,11 +84,19 @@ def launch() -> int:
         losses = [r["train/loss"] for r in rows if "train/loss" in r]
         assert losses and all(x == x for x in losses), losses
         ckpt_ok = (Path(tmp) / "ckpt" / "last").exists()
-        print(f"multihost smoke OK: 2 procs x 4 devices, mesh 2,2,2, "
+        print(f"multihost smoke OK: 2 procs x 4 devices, mesh {mesh}, "
               f"losses={[round(x, 4) for x in losses]}, "
               f"collective_ckpt={'yes' if ckpt_ok else 'MISSING'}")
         if not ckpt_ok:
             rc = 1
+    return rc
+
+
+def launch() -> int:
+    rc = run_arm("2,2,2", PORT)
+    if rc == 0:
+        rc = run_arm("4,1,1,2", PORT + 1,
+                     ["--scan_layers", "true", "--pp_microbatches", "2"])
     return rc
 
 

@@ -11,8 +11,24 @@ fsdp/tp parameter sharding inside one pjit program.
 
 from __future__ import annotations
 
+import os
+
 import jax
 from jax.sharding import NamedSharding, PartitionSpec as P
+
+
+def force_xla_kernels() -> bool:
+    """True when every auto-selected Pallas kernel must fall back to its XLA
+    oracle path (VIT_TPU_FORCE_XLA_KERNELS=1).
+
+    Set automatically by the entry-point mesh plumbing for MULTI-PROCESS
+    meshes with a "pipe" axis (vit_tpu/train/distributed.py): GSPMD there
+    emits op-shardings whose tile assignment interleaves the process-split
+    pipe axis with intra-process axes, and jax's custom_partitioning machinery
+    cannot re-parse them onto the mesh (parse_flatten_op_sharding →
+    explode_superdims KeyError, jax 0.8). Single-process pipe meshes and all
+    dp/fsdp/tp meshes keep the fused kernels."""
+    return os.environ.get("VIT_TPU_FORCE_XLA_KERNELS", "") == "1"
 
 
 def dim_offset(mesh, spec_entry, local_dim: int):

@@ -145,7 +145,11 @@ def nearest_code(z: jax.Array, codebook: jax.Array, *,
         # (serve/export.py:export_fn)
         import os
 
+        from vit_tpu.kernels._partition import force_xla_kernels
+
         impl = os.environ.get("VIT_TPU_VQ_IMPL") or None
+        if impl is None and force_xla_kernels():
+            impl = "xla"
     batch_shape = z.shape[:-1]
     d = z.shape[-1]
     c = codebook.shape[0]

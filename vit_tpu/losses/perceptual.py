@@ -139,12 +139,14 @@ class ConvNeXtBlock(nn.Module):
     def __call__(self, x):
         h = DWConv7(self.dim, dtype=self.dtype, impl=self.dw_impl,
                     layout=self.layout, name="dwconv")(x)
+        from vit_tpu.kernels._partition import force_xla_kernels
         from vit_tpu.kernels.convnext_block import (
             frozen_convnext_block_tail, fused_supported)
 
         use_fused = (self.mlp_impl == "fused"
                      or (self.mlp_impl == "auto"
-                         and jax.default_backend() == "tpu"))
+                         and jax.default_backend() == "tpu"
+                         and not force_xla_kernels()))
         # Everything below the dwconv is rowwise on C: a (rows, C) flatten is
         # valid in either activation layout (row order is irrelevant as long as
         # h, the residual x, and the output reshape agree).

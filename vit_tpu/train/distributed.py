@@ -130,6 +130,16 @@ class MeshRunner:
         self.mesh = mesh
         self.batch = batch_sharding(mesh)
         self.rep = NamedSharding(mesh, P())
+        # data-axis coordinates covered by THIS process's devices. Equal to
+        # data_size/process_count when the data axis splits across processes
+        # (the common dp-multi-host case), but a process covers the FULL data
+        # axis when only other mesh axes (e.g. the outermost "pipe") span the
+        # process boundary — its devices then address every batch row.
+        didx = mesh.axis_names.index("data")
+        coords = np.argwhere(np.vectorize(
+            lambda d: d.process_index == jax.process_index())(mesh.devices))
+        self._data_coords_covered = int(np.unique(coords[:, didx]).size) \
+            if coords.size else mesh.shape["data"]
 
     # -- placement -------------------------------------------------------------
     def shard_state(self, state) -> Tuple[Any, Any]:
@@ -147,14 +157,20 @@ class MeshRunner:
 
     def put_batch(self, array):
         """Host batch → global batch-sharded device array. Multi-host: this process's
-        array is its disjoint shard of the bs×process_count global batch.
+        array covers exactly the data-axis coordinates its devices address —
+        its disjoint shard of the bs×(data groups) global batch when the data
+        axis splits across processes, or the FULL global batch when only other
+        mesh axes (e.g. "pipe") cross the process boundary. In the latter case
+        batch rows are replicated across those axes, so every process in the
+        same data position must feed identical rows — the loaders are
+        deterministic per stream position, which guarantees this.
 
         A trailing partial batch (e.g. an eval loader with drop_last=False) that does
         not divide the data axis is trimmed to the largest shardable multiple, with a
         one-time warning — train loaders all use drop_last semantics, so this only
         ever drops tail eval examples."""
         array = np.asarray(array)
-        ddp = self.mesh.shape["data"] // jax.process_count()
+        ddp = self._data_coords_covered
         if array.shape[0] % max(ddp, 1) != 0:
             keep = (array.shape[0] // ddp) * ddp
             if keep == 0:
@@ -167,7 +183,8 @@ class MeshRunner:
                       f"trimming to {keep} (further trims silent)")
             array = array[:keep]
         if jax.process_count() > 1:
-            global_shape = (array.shape[0] * jax.process_count(),) + array.shape[1:]
+            groups = self.mesh.shape["data"] // ddp  # disjoint data groups
+            global_shape = (array.shape[0] * groups,) + array.shape[1:]
             return jax.make_array_from_process_local_data(
                 self.batch, array, global_shape)
         return jax.device_put(array, self.batch)
@@ -204,6 +221,14 @@ def maybe_mesh_runner(args) -> Optional[MeshRunner]:
         return None
     # an explicit --mesh smaller than the host takes the first devices
     devices = jax.devices()[:dp * fsdp * tp * pp]
+    if pp > 1 and jax.process_count() > 1:
+        # jax's custom_partitioning cannot re-parse GSPMD op-shardings on a
+        # process-split pipe mesh (kernels/_partition.py:force_xla_kernels) —
+        # auto-selected Pallas kernels fall back to their XLA oracle paths.
+        os.environ.setdefault("VIT_TPU_FORCE_XLA_KERNELS", "1")
+        if jax.process_index() == 0:
+            print("MESH: multi-process pipe axis — auto Pallas kernels fall "
+                  "back to XLA paths (VIT_TPU_FORCE_XLA_KERNELS=1)")
     runner = MeshRunner(make_mesh(dp=dp, fsdp=fsdp, tp=tp, pp=pp,
                                   devices=devices))
     if jax.process_index() == 0:
