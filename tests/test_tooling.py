@@ -109,3 +109,39 @@ def test_metrics_logger_jsonl_fallback(tmp_path):
     assert lines[1]["train/loss"] == 1.5 and lines[1]["_step"] == 3
     pngs = list((tmp_path / "proj" / "run_images").glob("*.png"))
     assert len(pngs) == 2
+
+
+def test_metrics_logger_tensorboard_sink(tmp_path):
+    """Scalars + image grids land in a readable tfevents file (the TB sink is
+    the JSONL's dashboard twin; reference observability is wandb-only, SURVEY §5)."""
+    from vit_tpu.utils.logging import MetricsLogger
+
+    logger = MetricsLogger("proj", "run", config={"lr": 1e-3},
+                           out_dir=str(tmp_path), use_wandb=False)
+    logger.log({"train/loss": np.float32(1.5), "_private": 7, "note": "str"},
+               step=3)
+    logger.log_images({"recon": np.random.rand(2, 8, 8, 3)}, step=3)
+    logger.close()
+
+    tb_dir = tmp_path / "proj" / "run_tb"
+    events = list(tb_dir.glob("events.out.tfevents.*"))
+    assert events, f"no tfevents file in {tb_dir}"
+    from tensorboard.backend.event_processing.event_file_loader import (
+        EventFileLoader)
+
+    seen_scalars, seen_images, seen_text = {}, set(), False
+    for ev in EventFileLoader(str(events[0])).Load():
+        for v in getattr(ev.summary, "value", []):
+            plugin = v.metadata.plugin_data.plugin_name
+            if v.HasField("simple_value"):
+                seen_scalars[v.tag] = (v.simple_value, ev.step)
+            elif plugin == "scalars" and v.HasField("tensor"):
+                seen_scalars[v.tag] = (v.tensor.float_val[0], ev.step)
+            if v.HasField("image") or plugin == "images":
+                seen_images.add(v.tag)
+            if v.tag.startswith("config"):
+                seen_text = True
+    assert seen_scalars.get("train/loss") == (1.5, 3)
+    assert "_private" not in seen_scalars  # underscore keys stay JSONL-only
+    assert any("recon" in t for t in seen_images)
+    assert seen_text

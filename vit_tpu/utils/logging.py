@@ -1,9 +1,15 @@
-"""Metrics logging: wandb when available, JSONL + stdout otherwise.
+"""Metrics logging: wandb when available, JSONL + stdout otherwise, TensorBoard always.
 
 The reference's observability surface is wandb alone (SURVEY.md §5). This environment
 has no wandb, so the logger degrades to an append-only ``metrics.jsonl`` plus periodic
 stdout lines while keeping the reference's metric names (train/loss, train/codebook_usage,
 benchmark/step_time, benchmark/load_time, ... — e.g. train_titok.py:168).
+
+TensorBoard event files (the TPU-ecosystem-native dashboard; pairs with the
+``--profile_dir`` xprof traces, which TensorBoard's profile plugin renders) are
+written alongside the JSONL when ``tensorboardX`` is importable — scalars and the
+recon-grid images the reference sends to wandb (train_titok.py:173-177). Disable
+with ``tb=False``.
 
 Device arrays are converted lazily at flush so the train loop never blocks on a
 per-step host sync (the reference syncs every step via ``loss.item()``,
@@ -38,10 +44,11 @@ def _to_python(v):
 
 class MetricsLogger:
     def __init__(self, project: str, name: str, config: Optional[Dict[str, Any]] = None,
-                 out_dir: str = "runs", use_wandb: bool = True):
+                 out_dir: str = "runs", use_wandb: bool = True, tb: bool = True):
         self.project = project
         self.name = name
         self._wandb_run = None
+        self._tb = None
         # multi-host: only process 0 writes (all hosts share the metric values —
         # they're replicated — so other writers would only duplicate lines)
         try:
@@ -57,6 +64,21 @@ class MetricsLogger:
         self.path = Path(out_dir) / project / f"{name}.jsonl"
         self.path.parent.mkdir(parents=True, exist_ok=True)
         self._fh = self.path.open("a")
+        if tb:
+            try:
+                from tensorboardX import SummaryWriter
+
+                self._tb = SummaryWriter(
+                    logdir=str(self.path.parent / f"{name}_tb"), flush_secs=30)
+                if config is not None:
+                    self._tb.add_text("config", "```\n" + "\n".join(
+                        f"{k}: {_to_python(v)}" for k, v in sorted(config.items())
+                        if isinstance(v, (int, float, str, bool, type(None)))) +
+                        "\n```", 0)
+            except Exception as e:  # absent/broken tensorboardX never blocks training
+                if not isinstance(e, ImportError):
+                    print(f"[logging] TensorBoard sink disabled: {e!r}")
+                self._tb = None
         if config is not None:
             try:  # record which backend produced this run (self-certifying
                 import jax  # "live TPU evidence": tpu/cpu/axon/...)
@@ -80,6 +102,14 @@ class MetricsLogger:
         payload["_ts"] = time.time()
         if self._wandb_run is not None:
             self._wandb_run.log(metrics, step=step)
+        if self._tb is not None:
+            try:
+                for k, v in payload.items():
+                    if not k.startswith("_") and isinstance(v, (int, float)):
+                        self._tb.add_scalar(k, v, global_step=step)
+            except Exception as e:  # observability must never kill the run
+                print(f"[logging] TensorBoard sink disabled mid-run: {e!r}")
+                self._tb = None
         self._fh.write(json.dumps(payload) + "\n")
         self._fh.flush()
 
@@ -90,6 +120,15 @@ class MetricsLogger:
 
         if not self._active:
             return
+        if self._tb is not None:
+            try:
+                for key, batch in images.items():
+                    arr = np.clip(np.asarray(batch, dtype=np.float32), 0.0, 1.0)
+                    self._tb.add_images(key, arr, global_step=step,
+                                        dataformats="NHWC")
+            except Exception as e:
+                print(f"[logging] TensorBoard sink disabled mid-run: {e!r}")
+                self._tb = None
         if self._wandb_run is not None:
             self._wandb_run.log(
                 {k: [_wandb.Image(np.asarray(img)) for img in v]
@@ -109,6 +148,8 @@ class MetricsLogger:
     def close(self):
         if not self._active:
             return
+        if self._tb is not None:
+            self._tb.close()
         if self._wandb_run is not None:
             self._wandb_run.finish()
         self._fh.close()
