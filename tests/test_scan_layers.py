@@ -72,6 +72,30 @@ def test_remat_composes():
                                    rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.parametrize("policy", ["dots", "dots_no_batch"])
+def test_remat_policy_grad_parity(policy):
+    """remat_policy changes WHAT the backward recomputes, never the grads:
+    scanned+remat(policy) grads must match the unrolled no-remat stack."""
+    cfg = _cfg()
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 32))
+    p_un, p_st = _init_pair(cfg, x)
+    g_un = jax.grad(lambda p: Transformer(cfg).apply({"params": p}, x).sum())(p_un)
+    rcfg = cfg.replace(scan_layers=True, remat=True, remat_policy=policy)
+    g_st = jax.grad(
+        lambda p: Transformer(rcfg).apply({"params": p}, x).sum())(p_st)
+    for a, b in zip(jax.tree_util.tree_leaves(g_un),
+                    jax.tree_util.tree_leaves(unstack_layer_params(g_st))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_remat_policy_rejects_unknown():
+    cfg = _cfg(remat=True, remat_policy="bogus", scan_layers=True)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 32))
+    with pytest.raises(ValueError, match="remat_policy"):
+        Transformer(cfg).init(jax.random.PRNGKey(0), x)
+
+
 def test_layout_roundtrip_and_convert():
     cfg = _cfg()
     x = jnp.zeros((1, 16, 32))

@@ -43,6 +43,16 @@ class TransformerConfig:
                                              # param tree changes to
                                              # {kernel_q, scale, bias}
     remat: bool = False                      # jax.checkpoint each block
+    remat_policy: Optional[str] = None       # None="everything" (max memory
+                                             # saving, full recompute) |
+                                             # "dots": save matmul outputs,
+                                             # recompute only elementwise/LN
+                                             # work in the backward — costs
+                                             # ~the matmul activations in HBM,
+                                             # buys back most of remat's step
+                                             # overhead (jax.checkpoint
+                                             # policies; core/transformer.py
+                                             # _remat_policy)
     scan_layers: bool = False                # compile the stack as ONE
                                              # lax.scan over stacked params:
                                              # ~n_layers-fold smaller XLA

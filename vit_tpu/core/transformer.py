@@ -309,6 +309,26 @@ class Mlp(nn.Module):
         return h
 
 
+def _remat_policy(name):
+    """cfg.remat_policy → jax.checkpoint policy. None = save nothing (full
+    recompute, the memory-minimal default); "dots" = save matmul outputs so the
+    backward recomputes only elementwise/LN work (jax.checkpoint_policies).
+    ``VIT_TPU_REMAT_POLICY`` fills the default when the config leaves it unset
+    (the same A/B-bench convention as VIT_TPU_FUSED_FC / VIT_TPU_FUSED_LN)."""
+    if name is None:
+        import os
+
+        name = os.environ.get("VIT_TPU_REMAT_POLICY", "")
+    if name in ("", "none", "everything"):
+        return None  # nn.remat default: recompute everything
+    if name == "dots":
+        return jax.checkpoint_policies.checkpoint_dots
+    if name == "dots_no_batch":
+        return jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+    raise ValueError(f"unknown remat_policy {name!r} "
+                     "(expected none|dots|dots_no_batch)")
+
+
 def _block_forward(cfg: TransformerConfig, x, deterministic, decode_pos):
     """Pre-LN block body shared by the unrolled and scanned stacks. Must be
     called inside an nn.compact __call__ — the submodules attach to the caller,
@@ -383,7 +403,8 @@ class Transformer(nn.Module):
             block = _ScanBlock
             if cfg.remat and decode_pos is None:
                 block = nn.remat(block, static_argnums=(2,),
-                                 prevent_cse=False)  # scan carries no CSE risk
+                                 prevent_cse=False,  # scan carries no CSE risk
+                                 policy=_remat_policy(cfg.remat_policy))
             stack = nn.scan(
                 block,
                 variable_axes={"params": 0, "cache": 0},
@@ -396,7 +417,8 @@ class Transformer(nn.Module):
             return x
         layer_cls = TransformerLayer
         if cfg.remat and decode_pos is None:
-            layer_cls = nn.remat(TransformerLayer, static_argnums=(2,))
+            layer_cls = nn.remat(TransformerLayer, static_argnums=(2,),
+                                 policy=_remat_policy(cfg.remat_policy))
         for i in range(cfg.n_layers):
             x = layer_cls(cfg, name=f"layer_{i}")(x, deterministic,
                                                   decode_pos)
@@ -436,7 +458,8 @@ class Transformer(nn.Module):
 
         block = _ScanBlock
         if cfg.remat:
-            block = nn.remat(block, static_argnums=(2,), prevent_cse=False)
+            block = nn.remat(block, static_argnums=(2,), prevent_cse=False,
+                             policy=_remat_policy(cfg.remat_policy))
         stage = nn.scan(
             block,
             variable_axes={"params": 0},
