@@ -229,6 +229,47 @@ def test_sharded_pipeline_matches_single_device():
                                rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 virtual devices")
+def test_pipeline_composes_with_fsdp_tp():
+    """pp composing with fsdp AND tp in one mesh (1,2,2,2 over 8 devices) —
+    the full four-axis product no other test exercises. Forward and grads
+    must match the unsharded scan stack."""
+    from vit_tpu.parallel.mesh import make_mesh
+    from vit_tpu.parallel.sharding import params_shardings
+
+    cfg = _cfg()
+    x = jax.random.normal(jax.random.PRNGKey(1), (8, 16, 32))
+    p_scan, p_pp = _pair(cfg, x)
+
+    def loss_ref(p):
+        return jnp.sum(Transformer(cfg).apply({"params": p}, x) ** 2)
+
+    y_ref = Transformer(cfg).apply({"params": p_scan}, x)
+    g_ref = jax.grad(loss_ref)(p_scan)
+
+    pcfg = cfg.replace(pp_stages=2, pp_microbatches=2)
+    mesh = make_mesh(dp=1, fsdp=2, tp=2, pp=2)
+    assert dict(mesh.shape) == {"pipe": 2, "data": 1, "fsdp": 2, "model": 2}
+    sh = params_shardings(mesh, p_pp)
+    xb = NamedSharding(mesh, P("data"))
+    p_dev, x_dev = jax.device_put(p_pp, sh), jax.device_put(x, xb)
+
+    f = jax.jit(lambda p, xx: Transformer(pcfg).apply({"params": p}, xx),
+                in_shardings=(sh, xb))
+    np.testing.assert_allclose(np.asarray(f(p_dev, x_dev)), np.asarray(y_ref),
+                               rtol=1e-5, atol=1e-6)
+
+    def loss_pp(p):
+        return jnp.sum(Transformer(pcfg).apply({"params": p}, x_dev) ** 2)
+
+    g_pp = jax.jit(jax.grad(loss_pp), in_shardings=(sh,))(p_dev)
+    g_pp_scan = unpipeline_layer_params(jax.device_get(g_pp))
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-5),
+        g_pp_scan, g_ref)
+
+
 def test_entry_point_pp_mesh_matches_single_device(tmp_path):
     """The REAL train_titok.py on --mesh 2,1,1,2 (dp×pp over 4 CPU devices)
     matches single-device losses — the users-run-this-path pin for pp."""
