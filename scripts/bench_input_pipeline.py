@@ -52,12 +52,16 @@ def main():
 
     def measure(make_loader, name):
         loader = make_loader()
-        n = t = 0
-        # one warmup batch (thread spin-up), then time a full epoch
-        it = iter(loader)
-        next(it)
+        # First epoch warms OS page cache + pools; the SECOND epoch is timed
+        # from iterator creation to exhaustion, so every sample's decode falls
+        # inside the window. (Skipping a "warmup batch" inside the timed epoch
+        # — the previous methodology — let the prefetch threads bank decoded
+        # batches outside the window and inflated small-epoch numbers.)
+        for _ in iter(loader):
+            pass
+        n = 0
         t0 = time.perf_counter()
-        for images, labels in it:
+        for images, labels in iter(loader):
             n += images.shape[0]
         t = time.perf_counter() - t0
         ips = n / t
