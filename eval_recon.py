@@ -8,7 +8,8 @@ Usage:
   python eval_recon.py --ckpt titok_models/vit_vqgan --model vit_vqgan \
       --dataset imagenet --data_dir /path/to/imagenet
 
-Prints one JSON line: {"psnr": ..., "perceptual": ..., "codebook_usage": ..., "n": N}.
+Prints one JSON line:
+  {"psnr": ..., "ssim": ..., "perceptual": ..., "codebook_usage": ..., "n": N}.
 """
 
 from __future__ import annotations
@@ -26,7 +27,7 @@ from vit_tpu.train.checkpoint import Checkpointer
 from vit_tpu.train.optim import make_optimizer
 from vit_tpu.train.state import TrainState
 from vit_tpu.utils.config import dataclass_from_dict
-from vit_tpu.utils.metrics import psnr
+from vit_tpu.utils.metrics import psnr, ssim
 
 
 def load_model(args):
@@ -140,20 +141,23 @@ def main():
         fwd = jax.jit(lambda p, x: model.apply({"params": p}, x)[0])
         idx_fn = jax.jit(lambda p, x: model.apply({"params": p}, x, method="encode"))
 
-    psnrs, percs, n = [], [], 0
+    psnrs, ssims, percs, n = [], [], [], 0
     usage = np.zeros(cfg.codebook_size, np.float32)
+    ssim_fn = jax.jit(ssim)
     for i, (images, _) in enumerate(loader):
         if i >= args.batches:
             break
         x = jnp.asarray(images)
         recon = jnp.clip(fwd(params, x), 0.0, 1.0)
         psnrs.append(np.asarray(psnr(recon, jnp.clip(x, 0.0, 1.0))))
+        ssims.append(np.asarray(ssim_fn(recon, jnp.clip(x, 0.0, 1.0))))
         if perceptual is not None:
             percs.append(float(perceptual(recon, x)))
         usage[np.asarray(idx_fn(params, x)).reshape(-1)] = 1.0
         n += x.shape[0]
 
     out = {"psnr": round(float(np.concatenate(psnrs).mean()), 3),
+           "ssim": round(float(np.concatenate(ssims).mean()), 4),
            "codebook_usage": round(float(usage.mean()), 4), "n": n}
     if percs:
         out["perceptual"] = round(float(np.mean(percs)), 5)

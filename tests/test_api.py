@@ -41,3 +41,42 @@ def test_psnr_metric():
     b = jnp.ones((2, 8, 8, 3)) * 0.1
     # atol covers TPU transcendental precision: log10 on-chip gives 19.999851.
     np.testing.assert_allclose(np.asarray(psnr(a, b)), 20.0, atol=5e-4)
+
+
+def _ssim_oracle(a, b, window_size=11, sigma=1.5, max_val=1.0):
+    """Independent numpy SSIM (Wang et al. 2004): explicit per-window loops."""
+    x = np.arange(window_size) - (window_size - 1) / 2.0
+    g = np.exp(-(x ** 2) / (2 * sigma ** 2))
+    g /= g.sum()
+    w = np.outer(g, g)
+    c1, c2 = (0.01 * max_val) ** 2, (0.03 * max_val) ** 2
+    B, H, W, C = a.shape
+    out = np.zeros(B)
+    for n in range(B):
+        vals = []
+        for c in range(C):
+            for i in range(H - window_size + 1):
+                for j in range(W - window_size + 1):
+                    pa = a[n, i:i + window_size, j:j + window_size, c]
+                    pb = b[n, i:i + window_size, j:j + window_size, c]
+                    ma, mb = (w * pa).sum(), (w * pb).sum()
+                    va = (w * pa * pa).sum() - ma * ma
+                    vb = (w * pb * pb).sum() - mb * mb
+                    cov = (w * pa * pb).sum() - ma * mb
+                    vals.append(((2 * ma * mb + c1) * (2 * cov + c2)) /
+                                ((ma ** 2 + mb ** 2 + c1) * (va + vb + c2)))
+        out[n] = np.mean(vals)
+    return out
+
+
+def test_ssim_metric():
+    from vit_tpu.utils.metrics import ssim
+
+    rng = np.random.default_rng(0)
+    a = rng.uniform(size=(2, 13, 13, 2)).astype(np.float32)
+    b = np.clip(a + rng.normal(scale=0.1, size=a.shape).astype(np.float32), 0, 1)
+    got = np.asarray(ssim(jnp.asarray(a), jnp.asarray(b)))
+    np.testing.assert_allclose(got, _ssim_oracle(a, b), atol=2e-5)
+    # identical images -> 1
+    np.testing.assert_allclose(np.asarray(ssim(jnp.asarray(a), jnp.asarray(a))),
+                               1.0, atol=1e-5)

@@ -44,6 +44,7 @@ def test_eval_recon_cli(titok_ckpt):
     line = [l for l in res.stdout.splitlines() if l.strip().startswith("{")][-1]
     out = json.loads(line)
     assert np.isfinite(out["psnr"]) and out["n"] > 0
+    assert -1.0 <= out["ssim"] <= 1.0
     assert 0.0 <= out["codebook_usage"] <= 1.0
 
 

@@ -21,3 +21,43 @@ def test_multihost_smoke():
     assert "mesh 2,2,2" in proc.stdout
     assert "mesh 4,1,1,2" in proc.stdout
     assert proc.stdout.count("collective_ckpt=yes") == 2
+
+
+def test_host_shard_slices_loaders(monkeypatch):
+    """Each host's loader must feed DISTINCT data (multihost DP correctness:
+    identical streams would train on process_count copies of every sample).
+    host_shard() is faked per 'host'; the real get_loader plumbing does the rest."""
+    import argparse
+
+    import numpy as np
+
+    import train_titok
+    from vit_tpu.train import distributed
+
+    def loader_for(pid):
+        monkeypatch.setattr(distributed, "host_shard", lambda: (pid, 2))
+        args = argparse.Namespace(dataset="synthetic", image_size=16, bs=4,
+                                  steps_per_epoch=2, seed=0)
+        return train_titok.get_loader(args)
+
+    b0 = next(iter(loader_for(0)))[0]
+    b1 = next(iter(loader_for(1)))[0]
+    assert b0.shape == b1.shape
+    assert not np.allclose(np.asarray(b0), np.asarray(b1))
+
+    # map-style DataLoader: shared seed + strided slice -> disjoint indices
+    from vit_tpu.data.loader import DataLoader
+
+    class Ints:
+        def __len__(self):
+            return 32
+
+        def __getitem__(self, i):
+            return np.asarray([i])
+
+    got = [np.concatenate([np.asarray(b).reshape(-1) for b in
+                           DataLoader(Ints(), 4, shuffle=True, num_workers=1,
+                                      shard_id=pid, num_shards=2)])
+           for pid in (0, 1)]
+    seen0, seen1 = set(got[0].reshape(-1)), set(got[1].reshape(-1))
+    assert not (seen0 & seen1) and len(seen0 | seen1) == 32

@@ -83,15 +83,21 @@ def main():
     run_name = (f"{args.patch_size}px_{args.image_size}px_{args.transformer}_"
                 f"{args.latent_tokens}_{args.codebook_size}")
 
+    from vit_tpu.train.distributed import host_shard
+
+    shard_id, num_shards = host_shard()  # this host's slice of the stream
     if args.dataset == 'synthetic':
         train_loader = SyntheticImageLoader(args.image_size, args.bs,
                                             steps_per_epoch=args.steps_per_epoch,
-                                            seed=args.seed, mode='shapes')
+                                            seed=args.seed + 9973 * shard_id,
+                                            mode='shapes')
     else:
         from vit_tpu.data.imagenet import get_imagenet_loaders
 
         train_loader = get_imagenet_loaders(args.image_size, args.bs,
-                                            data_dir=args.data_dir)[0]
+                                            data_dir=args.data_dir,
+                                            shard_id=shard_id,
+                                            num_shards=num_shards)[0]
 
     model = EnhancingViTVQGAN(config)
     run_tokenizer_training(

@@ -114,17 +114,23 @@ def make_code_loader(args):
         decode = jax.jit(lambda idx: vq_model.apply(
             {"params": vq_params}, idx, method="decode_indices"))
 
+        from vit_tpu.train.distributed import host_shard
+
+        shard_id, num_shards = host_shard()  # this host's slice of the stream
         if args.dataset == 'synthetic':
             from vit_tpu.data.synthetic import SyntheticImageLoader
 
             img_loader = SyntheticImageLoader(cfg.image_size, args.bs,
                                               steps_per_epoch=args.steps_per_epoch,
-                                              seed=args.seed, mode='shapes')
+                                              seed=args.seed + 9973 * shard_id,
+                                              mode='shapes')
         else:
             from vit_tpu.data.imagenet import get_imagenet_loaders
 
             img_loader = get_imagenet_loaders(256, args.bs,
-                                              data_dir=args.data_dir)[0]
+                                              data_dir=args.data_dir,
+                                              shard_id=shard_id,
+                                              num_shards=num_shards)[0]
 
         class _CodeStream:
             """Re-iterable frozen-VQ code stream; `.dataset` exposes the inner

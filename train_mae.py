@@ -78,15 +78,18 @@ def parse_args():
 
 def get_loaders(args):
     # classification loaders are reused; MAE simply ignores the labels
+    from vit_tpu.train.distributed import host_shard
+
+    shard_id, num_shards = host_shard()  # this host's slice of the stream
     if args.dataset == 'synthetic':
         train = SyntheticImageLoader(args.image_size, args.bs,
                                      in_channels=args.in_channels,
                                      steps_per_epoch=args.steps_per_epoch,
-                                     seed=args.seed)
+                                     seed=args.seed + 9973 * shard_id)
         valid = SyntheticImageLoader(args.image_size, 2 * args.bs,
                                      in_channels=args.in_channels,
                                      steps_per_epoch=max(1, args.steps_per_epoch // 10),
-                                     seed=args.seed + 1)
+                                     seed=args.seed + 1 + 9973 * shard_id)
         return train, valid
     if args.dataset == 'wds':
         import glob
@@ -103,18 +106,23 @@ def get_loaders(args):
             return (streaming_image_loader(shards, args.image_size, args.bs,
                                            train=True,
                                            shuffle_buffer=args.shuffle_buffer,
-                                           seed=args.seed),
+                                           seed=args.seed, shard_id=shard_id,
+                                           num_shards=num_shards),
                     streaming_image_loader(shards, args.image_size, 2 * args.bs,
-                                           train=False))
+                                           train=False, shard_id=shard_id,
+                                           num_shards=num_shards))
         train_set = WdsImageClassification(shards, args.image_size, train=True)
         valid_set = WdsImageClassification(shards, args.image_size, train=False)
-        return (DataLoader(train_set, args.bs, shuffle=True, drop_last=True),
-                DataLoader(valid_set, 2 * args.bs, shuffle=False, drop_last=False))
+        return (DataLoader(train_set, args.bs, shuffle=True, drop_last=True,
+                           shard_id=shard_id, num_shards=num_shards),
+                DataLoader(valid_set, 2 * args.bs, shuffle=False, drop_last=False,
+                           shard_id=shard_id, num_shards=num_shards))
     from vit_tpu.data.imagenet import get_imagenet_loaders
 
     return get_imagenet_loaders(args.image_size, args.bs, data_dir=args.data_dir,
                                 backend=args.loader_backend,
-                                processes=args.loader_processes)
+                                processes=args.loader_processes,
+                                shard_id=shard_id, num_shards=num_shards)
 
 
 def main():

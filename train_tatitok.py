@@ -88,21 +88,27 @@ def parse_args():
 
 
 def get_loader(args):
+    from vit_tpu.train.distributed import host_shard
+
+    shard_id, num_shards = host_shard()  # this host's slice of the stream
     if args.dataset == 'synthetic':
         return SyntheticImageLoader(args.image_size, args.bs // args.micro_steps,
                                     steps_per_epoch=args.steps_per_epoch,
-                                    seed=args.seed, mode='shapes')
+                                    seed=args.seed + 9973 * shard_id,
+                                    mode='shapes')
     if args.dataset == 'imagenet':
         from vit_tpu.data.imagenet import get_imagenet_loaders
 
         return get_imagenet_loaders(args.image_size, args.bs // args.micro_steps,
-                                    data_dir=args.data_dir)[0]
+                                    data_dir=args.data_dir, shard_id=shard_id,
+                                    num_shards=num_shards)[0]
     from vit_tpu.data.video import (get_dmlab_image_loaders,
                                     get_minecraft_image_loaders)
 
     fn = (get_dmlab_image_loaders if args.dataset == 'dmlab'
           else get_minecraft_image_loaders)
-    return fn(args.bs // args.micro_steps, dataset_path=args.data_dir)[0]
+    return fn(args.bs // args.micro_steps, dataset_path=args.data_dir,
+              shard_id=shard_id, num_shards=num_shards)[0]
 
 
 def main():

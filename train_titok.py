@@ -91,10 +91,14 @@ def parse_args():
 
 
 def get_loader(args):
+    from vit_tpu.train.distributed import host_shard
+
+    shard_id, num_shards = host_shard()  # this host's slice of the stream
     if args.dataset == 'synthetic':
         return SyntheticImageLoader(args.image_size, args.bs,
                                     steps_per_epoch=args.steps_per_epoch,
-                                    seed=args.seed, mode='shapes')
+                                    seed=args.seed + 9973 * shard_id,
+                                    mode='shapes')
     if args.dataset == 'imagenet':
         from vit_tpu.data.imagenet import get_imagenet_loaders
 
@@ -103,17 +107,23 @@ def get_loader(args):
                                     backend=getattr(args, 'loader_backend',
                                                     'threads'),
                                     processes=getattr(args, 'loader_processes',
-                                                      0))[0]
+                                                      0),
+                                    shard_id=shard_id,
+                                    num_shards=num_shards)[0]
     if args.dataset == 'dmlab':
         assert args.image_size == 64  # reference train_titok.py:120
         from vit_tpu.data.video import get_dmlab_image_loaders
 
-        return get_dmlab_image_loaders(args.bs, dataset_path=args.data_dir)[0]
+        return get_dmlab_image_loaders(args.bs, dataset_path=args.data_dir,
+                                       shard_id=shard_id,
+                                       num_shards=num_shards)[0]
     if args.dataset == 'minecraft':
         assert args.image_size == 128  # reference train_titok.py:124
         from vit_tpu.data.video import get_minecraft_image_loaders
 
-        return get_minecraft_image_loaders(args.bs, dataset_path=args.data_dir)[0]
+        return get_minecraft_image_loaders(args.bs, dataset_path=args.data_dir,
+                                           shard_id=shard_id,
+                                           num_shards=num_shards)[0]
     raise ValueError(args.dataset)
 
 

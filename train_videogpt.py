@@ -174,16 +174,21 @@ def main():
     logger = MetricsLogger(project_name, run_name, config=vars(args),
                            use_wandb=not args.no_wandb)
 
+    from vit_tpu.train.distributed import host_shard
+
+    shard_id, num_shards = host_shard()  # this host's slice of the stream
     if args.dataset == 'synthetic':
         train_loader = SyntheticVideoLoader(args.bs, frames=args.max_frames * 2,
                                             image_size=args.image_size,
                                             steps_per_epoch=args.steps_per_epoch,
-                                            seed=args.seed)
+                                            seed=args.seed + 9973 * shard_id)
     else:
         from vit_tpu.data.video import get_dmlab_video_loaders
 
         train_loader = get_dmlab_video_loaders(args.bs,
-                                               dataset_path=args.data_dir)[0]
+                                               dataset_path=args.data_dir,
+                                               shard_id=shard_id,
+                                               num_shards=num_shards)[0]
 
     rng = jax.random.PRNGKey(args.seed)
     dummy_tokens = jnp.zeros((1, args.max_frames, args.frame_size), jnp.int32)

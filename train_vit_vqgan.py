@@ -68,13 +68,18 @@ def parse_args():
 
 
 def get_loader(args):
+    from vit_tpu.train.distributed import host_shard
+
+    shard_id, num_shards = host_shard()  # this host's slice of the stream
     if args.dataset == 'synthetic':
         return SyntheticImageLoader(args.image_size, args.bs,
                                     steps_per_epoch=args.steps_per_epoch,
-                                    seed=args.seed, mode='shapes')
+                                    seed=args.seed + 9973 * shard_id,
+                                    mode='shapes')
     from vit_tpu.data.imagenet import get_imagenet_loaders
 
-    return get_imagenet_loaders(args.image_size, args.bs, data_dir=args.data_dir)[0]
+    return get_imagenet_loaders(args.image_size, args.bs, data_dir=args.data_dir,
+                                shard_id=shard_id, num_shards=num_shards)[0]
 
 
 def main():

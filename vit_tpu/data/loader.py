@@ -64,6 +64,11 @@ class DataLoader:
             rng = np.random.default_rng(self.seed + self._epoch)
             rng.shuffle(idx)
         idx = idx[self.shard_id::self.num_shards]
+        if self.num_shards > 1:
+            # equal length on every host: an uneven tail would give hosts
+            # different batch counts and deadlock the collective global-batch
+            # assembly (MeshRunner.put_batch) in the multihost loops
+            idx = idx[:n // self.num_shards]
         nb = len(idx) // self.batch_size
         if not self.drop_last and len(idx) % self.batch_size:
             nb += 1

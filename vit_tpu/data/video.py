@@ -149,28 +149,37 @@ def video_batch_generator(dataset, batch_size: int, videos_per_batch: int = 4,
                None)
 
 
-def get_dmlab_image_loaders(batch_size: int, dataset_path: Optional[str] = None
+def get_dmlab_image_loaders(batch_size: int, dataset_path: Optional[str] = None,
+                            *, shard_id: int = 0, num_shards: int = 1
                             ) -> Tuple[DataLoader, None]:
-    """batch_size//8 videos × 8 frames per batch (reference datasets.py:115-120)."""
+    """batch_size//8 videos × 8 frames per batch (reference datasets.py:115-120).
+
+    (shard_id, num_shards): this host's slice of the shuffled index
+    permutation (multihost DP — train/distributed.py:host_shard)."""
     dataset = ImagesFromVideoDataset(DmlabDataset(dataset_path or "../teco/dmlab/train/"))
     loader = DataLoader(dataset, batch_size // 8, shuffle=True, drop_last=True,
-                        num_workers=8, prefetch=2, collate_fn=frames_collate)
+                        num_workers=8, prefetch=2, collate_fn=frames_collate,
+                        shard_id=shard_id, num_shards=num_shards)
     return loader, None
 
 
-def get_minecraft_image_loaders(batch_size: int, dataset_path: Optional[str] = None
+def get_minecraft_image_loaders(batch_size: int, dataset_path: Optional[str] = None,
+                                *, shard_id: int = 0, num_shards: int = 1
                                 ) -> Tuple[DataLoader, None]:
     dataset = ImagesFromVideoDataset(
         MinecraftDataset(dataset_path or "../teco/minecraft/train/"))
     loader = DataLoader(dataset, batch_size // 8, shuffle=True, drop_last=True,
-                        num_workers=8, prefetch=2, collate_fn=frames_collate)
+                        num_workers=8, prefetch=2, collate_fn=frames_collate,
+                        shard_id=shard_id, num_shards=num_shards)
     return loader, None
 
 
-def get_dmlab_video_loaders(batch_size: int, dataset_path: Optional[str] = None
+def get_dmlab_video_loaders(batch_size: int, dataset_path: Optional[str] = None,
+                            *, shard_id: int = 0, num_shards: int = 1
                             ) -> Tuple[DataLoader, None]:
     """Whole-video batches (reference datasets.py:128-131)."""
     dataset = DmlabDataset(dataset_path or "../teco/dmlab/train/")
     loader = DataLoader(dataset, batch_size, shuffle=True, drop_last=True,
-                        num_workers=8, prefetch=2)
+                        num_workers=8, prefetch=2,
+                        shard_id=shard_id, num_shards=num_shards)
     return loader, None

@@ -118,6 +118,25 @@ def maybe_init_distributed() -> None:
                          process_id=int(os.environ["JAX_PROCESS_ID"]))
 
 
+def host_shard() -> Tuple[int, int]:
+    """(shard_id, num_shards) = (process_index, process_count) for slicing the
+    input stream per host.
+
+    Multihost DP is only correct if each host feeds DISTINCT data: the batch
+    assembled by ``jax.make_array_from_process_local_data`` concatenates the
+    hosts' local arrays along the batch axis, so hosts reading identical
+    streams would train on N copies of every sample (gradients average to the
+    single-host gradient — N× the compute for 1× the data). Entry points pass
+    this into their loader builders: file-backed loaders slice the shard/file
+    list by (shard_id, num_shards); synthetic loaders offset the seed.
+
+    Brings the multi-host backend up first (idempotent) so the processIndex
+    is meaningful regardless of where loader construction sits in main().
+    """
+    maybe_init_distributed()
+    return jax.process_index(), jax.process_count()
+
+
 class MeshRunner:
     """Sharding helpers for an entry-point loop over one ("data","fsdp","model") mesh.
 

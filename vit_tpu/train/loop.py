@@ -192,10 +192,19 @@ def run_tokenizer_training(args, model, model_config, train_loader, *,
                     last_ckpt_step = global_i
             if i % args.image_every == 0:
                 if is_proc0 and is_addressable(recon):
+                    img4 = jax.device_get(images[:4])
+                    rec4 = jax.device_get(recon[:4])
                     logger.log_images(
-                        {"images": jax.device_get(images[:4]),
-                         "reconstructions": jax.device_get(recon[:4])},
+                        {"images": img4, "reconstructions": rec4},
                         step=int(jax.device_get(state.step)))
+                    if min(img4.shape[1:3]) >= 11:  # SSIM 11x11 window
+                        from vit_tpu.utils.metrics import ssim
+
+                        s = jax.device_get(ssim(
+                            jnp.clip(jnp.asarray(rec4), 0.0, 1.0),
+                            jnp.clip(jnp.asarray(img4), 0.0, 1.0))).mean()
+                        logger.log({"train/ssim": float(s)},
+                                   step=int(jax.device_get(state.step)))
                 # periodic per-layer param norms (the wandb.watch-equivalent,
                 # reference train_tatitok.py:155; grad_norm is in every step's
                 # metrics already)
