@@ -150,15 +150,17 @@ def main():
         x = jnp.asarray(images)
         recon = jnp.clip(fwd(params, x), 0.0, 1.0)
         psnrs.append(np.asarray(psnr(recon, jnp.clip(x, 0.0, 1.0))))
-        ssims.append(np.asarray(ssim_fn(recon, jnp.clip(x, 0.0, 1.0))))
+        if min(x.shape[1:3]) >= 11:  # SSIM 11x11 VALID window (train/loop.py)
+            ssims.append(np.asarray(ssim_fn(recon, jnp.clip(x, 0.0, 1.0))))
         if perceptual is not None:
             percs.append(float(perceptual(recon, x)))
         usage[np.asarray(idx_fn(params, x)).reshape(-1)] = 1.0
         n += x.shape[0]
 
     out = {"psnr": round(float(np.concatenate(psnrs).mean()), 3),
-           "ssim": round(float(np.concatenate(ssims).mean()), 4),
            "codebook_usage": round(float(usage.mean()), 4), "n": n}
+    if ssims:
+        out["ssim"] = round(float(np.concatenate(ssims).mean()), 4)
     if percs:
         out["perceptual"] = round(float(np.mean(percs)), 5)
     print(json.dumps(out))

@@ -174,15 +174,24 @@ def test_streaming_wds_yields_each_sample_once_and_reshuffles(tmp_path):
 def test_streaming_wds_shards_are_disjoint(tmp_path):
     from vit_tpu.data.wds import StreamingWebDataset
 
-    paths = _write_shards(tmp_path)
+    paths = _write_shards(tmp_path)  # 5 shards x 5 samples
     got = []
     for sid in range(2):
         ds = StreamingWebDataset(paths, shuffle_buffer=0, workers=1,
                                  shard_id=sid, num_shards=2,
                                  transform=lambda s: s["__key__"])
+        assert len(ds.shard_paths) == 2  # equalized: 5//2 shards per host
         got.append(set(ds))
     assert got[0].isdisjoint(got[1])
-    assert len(got[0] | got[1]) == 25
+    # the odd 5th shard is dropped so hosts see EQUAL per-epoch batch counts
+    # (uneven counts deadlock collective global-batch assembly multihost)
+    assert len(got[0]) == len(got[1]) == 10
+
+    # fewer shards than hosts cannot be split collectively-safely
+    import pytest
+
+    with pytest.raises(ValueError, match="host"):
+        StreamingWebDataset(paths[:1], shard_id=0, num_shards=2)
 
 
 def test_streaming_image_loader_batches(tmp_path):

@@ -85,7 +85,7 @@ def main():
 
     from vit_tpu.train.distributed import host_shard
 
-    shard_id, num_shards = host_shard()  # this host's slice of the stream
+    shard_id, num_shards = host_shard(args)  # this data-group's slice of the stream
     if args.dataset == 'synthetic':
         train_loader = SyntheticImageLoader(args.image_size, args.bs,
                                             steps_per_epoch=args.steps_per_epoch,

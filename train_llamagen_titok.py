@@ -116,7 +116,7 @@ def make_code_loader(args):
 
         from vit_tpu.train.distributed import host_shard
 
-        shard_id, num_shards = host_shard()  # this host's slice of the stream
+        shard_id, num_shards = host_shard(args)  # this data-group's slice of the stream
         if args.dataset == 'synthetic':
             from vit_tpu.data.synthetic import SyntheticImageLoader
 

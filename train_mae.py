@@ -80,7 +80,7 @@ def get_loaders(args):
     # classification loaders are reused; MAE simply ignores the labels
     from vit_tpu.train.distributed import host_shard
 
-    shard_id, num_shards = host_shard()  # this host's slice of the stream
+    shard_id, num_shards = host_shard(args)  # this data-group's slice of the stream
     if args.dataset == 'synthetic':
         train = SyntheticImageLoader(args.image_size, args.bs,
                                      in_channels=args.in_channels,

@@ -93,7 +93,7 @@ def parse_args():
 def get_loader(args):
     from vit_tpu.train.distributed import host_shard
 
-    shard_id, num_shards = host_shard()  # this host's slice of the stream
+    shard_id, num_shards = host_shard(args)  # this data-group's slice of the stream
     if args.dataset == 'synthetic':
         return SyntheticImageLoader(args.image_size, args.bs,
                                     steps_per_epoch=args.steps_per_epoch,

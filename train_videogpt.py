@@ -176,7 +176,7 @@ def main():
 
     from vit_tpu.train.distributed import host_shard
 
-    shard_id, num_shards = host_shard()  # this host's slice of the stream
+    shard_id, num_shards = host_shard(args)  # this data-group's slice of the stream
     if args.dataset == 'synthetic':
         train_loader = SyntheticVideoLoader(args.bs, frames=args.max_frames * 2,
                                             image_size=args.image_size,

@@ -96,7 +96,7 @@ def parse_args():
 def get_loaders(args):
     from vit_tpu.train.distributed import host_shard
 
-    shard_id, num_shards = host_shard()  # this host's slice of the stream
+    shard_id, num_shards = host_shard(args)  # this data-group's slice of the stream
     if args.dataset == 'synthetic':
         train = SyntheticImageLoader(args.image_size, args.bs,
                                      num_classes=args.num_classes,

@@ -166,7 +166,25 @@ class StreamingWebDataset:
     def __init__(self, shard_paths, *, shuffle_buffer: int = 1000, seed: int = 0,
                  shard_id: int = 0, num_shards: int = 1, workers: int = 4,
                  transform=None, queue_size: int = 256, decode: bool = True):
-        self.shard_paths = sorted(str(s) for s in shard_paths)[shard_id::num_shards]
+        all_shards = sorted(str(s) for s in shard_paths)
+        if num_shards > 1:
+            # equal per-host work: an uneven split would give hosts different
+            # per-epoch batch counts and deadlock the collective global-batch
+            # assembly (MeshRunner.put_batch) — same invariant as the map-style
+            # DataLoader's index truncation (data/loader.py:_indices). Shards
+            # written by this repo's ShardWriter hold a fixed maxcount of
+            # samples, so equal shard COUNTS give equal batch counts too; for
+            # foreign uneven shards cap steps via the entry point's
+            # --steps_per_epoch.
+            per = len(all_shards) // num_shards
+            if per == 0:
+                raise ValueError(
+                    f"{len(all_shards)} shard(s) < {num_shards} hosts — each "
+                    f"host needs >= 1 shard for a collective-safe epoch split; "
+                    f"re-shard with a smaller maxcount")
+            self.shard_paths = all_shards[shard_id::num_shards][:per]
+        else:
+            self.shard_paths = all_shards
         if not self.shard_paths:
             raise ValueError("no shards for this shard_id/num_shards slice")
         self.shuffle_buffer = shuffle_buffer

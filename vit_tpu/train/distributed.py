@@ -118,23 +118,74 @@ def maybe_init_distributed() -> None:
                          process_id=int(os.environ["JAX_PROCESS_ID"]))
 
 
-def host_shard() -> Tuple[int, int]:
-    """(shard_id, num_shards) = (process_index, process_count) for slicing the
-    input stream per host.
+def _data_group(devices_arr: np.ndarray, axis_names: Sequence[str],
+                pid: int, pcount: int) -> Tuple[int, int]:
+    """This process's (data_group_index, num_data_groups) on a concrete mesh
+    device array.
 
-    Multihost DP is only correct if each host feeds DISTINCT data: the batch
-    assembled by ``jax.make_array_from_process_local_data`` concatenates the
-    hosts' local arrays along the batch axis, so hosts reading identical
+    A "data group" is the set of processes whose devices cover the same
+    data-axis coordinates: batch rows are sharded over "data" and REPLICATED
+    over every other mesh axis (mesh.batch_sharding = P("data")), so processes
+    in the same group must feed IDENTICAL input streams while different groups
+    must feed DISJOINT ones. Examples (2 processes × 4 devices):
+
+      --mesh 2,2,2    → procs cover data coords {0},{1}  → groups (0,2),(1,2)
+      --mesh 4,1,1,2  → both procs cover the FULL data axis (the pipe axis
+                        crosses the process boundary) → both get (0,1):
+                        identical streams, as pipeline replication requires.
+    """
+    didx = list(axis_names).index("data")
+    dp = devices_arr.shape[didx]
+    procs = np.vectorize(lambda d: d.process_index)(devices_arr)
+    mine = np.argwhere(procs == pid)
+    if mine.size == 0:
+        # this process holds no mesh devices — mirror MeshRunner's
+        # full-axis fallback (it would feed the whole batch)
+        return 0, 1
+    coords = np.unique(mine[:, didx])
+    ddp = int(coords.size)
+    lo = int(coords.min())
+    if dp % ddp or lo % ddp or (coords != np.arange(lo, lo + ddp)).any():
+        # non-contiguous/unaligned coverage (exotic device order): per-process
+        # split is at least disjoint; put_batch will trim/replicate as needed
+        return pid, pcount
+    return lo // ddp, dp // ddp
+
+
+def host_shard(args=None) -> Tuple[int, int]:
+    """(shard_id, num_shards) for slicing the input stream per host — this
+    process's DATA-GROUP coordinates on the mesh implied by ``args.mesh``.
+
+    Multihost DP is only correct if each data group feeds DISTINCT data: the
+    batch assembled by ``jax.make_array_from_process_local_data`` concatenates
+    the groups' local arrays along the batch axis, so groups reading identical
     streams would train on N copies of every sample (gradients average to the
-    single-host gradient — N× the compute for 1× the data). Entry points pass
+    single-host gradient — N× the compute for 1× the data). Conversely,
+    processes covering the SAME data coordinates (only pipe/fsdp/model axes
+    cross the process boundary, e.g. ``--mesh 4,1,1,2`` over 2 hosts) must
+    feed IDENTICAL rows — so they get the same (shard_id, num_shards) here,
+    and the deterministic loaders produce the same stream. Entry points pass
     this into their loader builders: file-backed loaders slice the shard/file
     list by (shard_id, num_shards); synthetic loaders offset the seed.
 
-    Brings the multi-host backend up first (idempotent) so the processIndex
+    Pass the parsed ``args`` (for ``args.mesh``); with no args or no --mesh
+    the default mesh puts every device on the data axis, where the data-group
+    split IS (process_index, process_count).
+
+    Brings the multi-host backend up first (idempotent) so the process index
     is meaningful regardless of where loader construction sits in main().
     """
     maybe_init_distributed()
-    return jax.process_index(), jax.process_count()
+    pid, pcount = jax.process_index(), jax.process_count()
+    if pcount == 1:
+        return 0, 1
+    spec = getattr(args, "mesh", None) if args is not None else None
+    if spec is None:
+        return pid, pcount
+    dp, fsdp, tp, pp = parse_mesh_spec(spec, jax.device_count())
+    devices = np.asarray(
+        jax.devices()[:dp * fsdp * tp * pp]).reshape(pp, dp, fsdp, tp)
+    return _data_group(devices, ("pipe", "data", "fsdp", "model"), pid, pcount)
 
 
 class MeshRunner:
@@ -159,6 +210,13 @@ class MeshRunner:
             lambda d: d.process_index == jax.process_index())(mesh.devices))
         self._data_coords_covered = int(np.unique(coords[:, didx]).size) \
             if coords.size else mesh.shape["data"]
+
+    def host_shard(self) -> Tuple[int, int]:
+        """This process's (data_group_index, num_data_groups) on the LIVE mesh
+        — must agree with module-level :func:`host_shard` parsed from the same
+        --mesh spec (pinned by tests/test_multihost.py)."""
+        return _data_group(self.mesh.devices, self.mesh.axis_names,
+                           jax.process_index(), jax.process_count())
 
     # -- placement -------------------------------------------------------------
     def shard_state(self, state) -> Tuple[Any, Any]:
