@@ -90,6 +90,11 @@ def main():
                         help="synthetic data mode (must match training; "
                              "train_titok --dataset synthetic uses 'shapes')")
     parser.add_argument('--perceptual_weights', type=str, default=None)
+    parser.add_argument('--lpips_weights', type=str, default=None,
+                        help='.npz from scripts/convert_lpips_weights.py '
+                             '(or "random" for an architecture-only smoke); '
+                             'adds an "lpips" field to the output — the '
+                             'BASELINE.md "PSNR/LPIPS parity" north star')
     args = parser.parse_args()
 
     model, params, cfg = load_model(args)
@@ -133,6 +138,20 @@ def main():
             weights = PerceptualLoss.load_params(args.perceptual_weights)
         perceptual = PerceptualLoss(weights)
 
+    lpips = None
+    if args.lpips_weights:
+        from vit_tpu.losses import lpips as lpips_mod
+
+        if args.lpips_weights == "random":
+            print("WARNING: lpips metric uses RANDOM weights — architecture "
+                  "smoke only, NOT comparable to published LPIPS numbers; "
+                  "convert real weights with scripts/convert_lpips_weights.py.",
+                  file=sys.stderr)
+            lp_params = lpips_mod.init_params()
+        else:
+            lp_params = lpips_mod.load_params(args.lpips_weights)
+        lpips = jax.jit(lpips_mod.lpips_fn(lp_params))
+
     if args.model == "tatitok":
         fwd = jax.jit(lambda p, x: model.apply({"params": p}, x)[0])
         idx_fn = jax.jit(lambda p, x: model.apply(
@@ -141,7 +160,7 @@ def main():
         fwd = jax.jit(lambda p, x: model.apply({"params": p}, x)[0])
         idx_fn = jax.jit(lambda p, x: model.apply({"params": p}, x, method="encode"))
 
-    psnrs, ssims, percs, n = [], [], [], 0
+    psnrs, ssims, percs, lpipss, n = [], [], [], [], 0
     usage = np.zeros(cfg.codebook_size, np.float32)
     ssim_fn = jax.jit(ssim)
     for i, (images, _) in enumerate(loader):
@@ -154,6 +173,8 @@ def main():
             ssims.append(np.asarray(ssim_fn(recon, jnp.clip(x, 0.0, 1.0))))
         if perceptual is not None:
             percs.append(float(perceptual(recon, x)))
+        if lpips is not None:
+            lpipss.append(np.asarray(lpips(recon, jnp.clip(x, 0.0, 1.0))))
         usage[np.asarray(idx_fn(params, x)).reshape(-1)] = 1.0
         n += x.shape[0]
 
@@ -163,6 +184,8 @@ def main():
         out["ssim"] = round(float(np.concatenate(ssims).mean()), 4)
     if percs:
         out["perceptual"] = round(float(np.mean(percs)), 5)
+    if lpipss:
+        out["lpips"] = round(float(np.concatenate(lpipss).mean()), 5)
     print(json.dumps(out))
 
 

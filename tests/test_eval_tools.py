@@ -39,13 +39,15 @@ def titok_ckpt(tmp_path_factory):
 
 def test_eval_recon_cli(titok_ckpt):
     res = run(["eval_recon.py", "--ckpt", str(titok_ckpt), "--model", "titok",
-               "--dataset", "synthetic", "--bs", "8", "--batches", "2"])
+               "--dataset", "synthetic", "--bs", "8", "--batches", "2",
+               "--lpips_weights", "random"])
     assert res.returncode == 0, res.stderr[-2000:]
     line = [l for l in res.stdout.splitlines() if l.strip().startswith("{")][-1]
     out = json.loads(line)
     assert np.isfinite(out["psnr"]) and out["n"] > 0
     assert -1.0 <= out["ssim"] <= 1.0
     assert 0.0 <= out["codebook_usage"] <= 1.0
+    assert np.isfinite(out["lpips"]) and out["lpips"] >= 0.0  # random-weight smoke
 
 
 def test_tokenize_roundtrip_cli(titok_ckpt, tmp_path):

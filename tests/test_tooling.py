@@ -145,3 +145,58 @@ def test_metrics_logger_tensorboard_sink(tmp_path):
     assert "_private" not in seen_scalars  # underscore keys stay JSONL-only
     assert any("recon" in t for t in seen_images)
     assert seen_text
+
+
+def test_metrics_logger_histograms_and_watch_step(tmp_path):
+    """wandb.watch parity (reference train_tatitok.py:155): the watch=True
+    step emits per-layer grad+param histograms under metrics['_hists'], and
+    MetricsLogger.log_histograms renders them into the tfevents file."""
+    import jax
+    import jax.numpy as jnp
+
+    from vit_tpu.models.titok import TiTok, TiTokConfig
+    from vit_tpu.train.optim import make_optimizer
+    from vit_tpu.train.state import TrainState
+    from vit_tpu.train.step import make_tokenizer_train_step
+    from vit_tpu.utils.logging import MetricsLogger
+
+    cfg = TiTokConfig(image_size=16, patch_size=8, latent_tokens=4,
+                      codebook_size=16, latent_dim=4, transformer="S")
+    for name in ("enc_vit_config", "dec_vit_config"):
+        sub = getattr(cfg, name)
+        sub.trans_config = sub.trans_config.replace(n_layers=1)
+    model = TiTok(cfg)
+    images = jnp.zeros((2, 16, 16, 3))
+    params = model.init(jax.random.PRNGKey(0), images)["params"]
+    state = TrainState.create(params, make_optimizer(1e-3, 2, 10, 1e-4, 0.0,
+                                                     clip_norm=1.0))
+    step = jax.jit(make_tokenizer_train_step(model, watch=True))
+    usage = jnp.zeros((16,), jnp.float32)
+    _, _, metrics, _ = step(state, images, usage, jax.random.PRNGKey(1))
+    hists = jax.device_get(metrics["_hists"])
+    assert any(k.startswith("grad_hist/") for k in hists)
+    assert any(k.startswith("param_hist/") for k in hists)
+    name, (counts, edges) = next(iter(hists.items()))
+    assert counts.shape == (64,) and edges.shape == (65,)
+    assert counts.sum() > 0
+
+    logger = MetricsLogger("proj", "watchrun", out_dir=str(tmp_path),
+                           use_wandb=False)
+    logger.log_histograms(hists, step=5)
+    logger.close()
+    events = list((tmp_path / "proj" / "watchrun_tb").glob(
+        "events.out.tfevents.*"))
+    assert events
+    from tensorboard.backend.event_processing.event_file_loader import (
+        EventFileLoader)
+
+    histo_tags = set()
+    for ev in EventFileLoader(str(events[0])).Load():
+        for v in getattr(ev.summary, "value", []):
+            # tensorboardX ≥2 writes histograms through the tensor-based
+            # "histograms" plugin; older writers use the histo proto field
+            if (v.HasField("histo")
+                    or v.metadata.plugin_data.plugin_name == "histograms"):
+                histo_tags.add(v.tag)
+    assert any(t.startswith("grad_hist/") for t in histo_tags), histo_tags
+    assert any(t.startswith("param_hist/") for t in histo_tags), histo_tags

@@ -57,7 +57,17 @@ def parse_args():
                         help='set by --dataset as in the reference; override for '
                              'synthetic')
     parser.add_argument('--steps_per_epoch', type=int, default=100)
+    parser.add_argument('--max_epoch_steps', type=int, default=0,
+                        help='cap batches per epoch for any loader (0 = full '
+                             'loader); smoke runs over huge virtual epochs, '
+                             'and the per-epoch equalizer for uneven '
+                             'multihost streaming shards')
     parser.add_argument('--perceptual_weights', type=str, default=None)
+    parser.add_argument('--perceptual_quant', type=str, default=None,
+                        choices=[None, 'int8'],
+                        help='int8: run the frozen perceptual net on the '
+                             'int8 MXU path (2x bf16 peak); loss semantics '
+                             'unchanged (vit_tpu/losses/perceptual.py)')
     parser.add_argument('--use_l2_norm', type=str2bool, default=True)
     parser.add_argument('--clustering_vq', action='store_true')
     parser.add_argument('--attn_impl', type=str, default=None,
@@ -76,6 +86,10 @@ def parse_args():
     parser.add_argument('--image_every', type=int, default=5000)
     parser.add_argument('--seed', type=int, default=0)
     parser.add_argument('--no_wandb', action='store_true')
+    parser.add_argument('--watch', action='store_true',
+                        help='log per-layer gradient+parameter histograms at '
+                             'every log point (wandb.watch parity, reference '
+                             'train_tatitok.py:155) to the TensorBoard sink/wandb')
     from vit_tpu.train.distributed import add_mesh_args
     add_mesh_args(parser)  # --mesh dp,fsdp,tp (shared across entry points)
     args = parser.parse_args()
@@ -196,6 +210,14 @@ def main():
 
         (_, (result, vq_stats_new, recon, metrics)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
+        if args.watch:
+            # the reference's wandb.watch(model) lives in THIS script
+            # (train_tatitok.py:155): per-layer grad+param histograms,
+            # computed on device (utils/metrics.py:tree_histograms)
+            from vit_tpu.utils.metrics import tree_histograms
+
+            metrics["_hists"] = {**tree_histograms(grads, "grad_hist"),
+                                 **tree_histograms(state.params, "param_hist")}
         if clustering:
             # install the reseeded codebook before the gradient update — the torch
             # ordering (in-forward .data mutation, then optimizer step)
@@ -235,8 +257,12 @@ def main():
     for epoch in range(start_epoch, args.epochs):
         skip = skip0 if epoch == start_epoch else 0
         st = time.time()
-        for i, (images, _) in enumerate(resume_stream(train_loader, skip),
-                                        start=skip):
+        stream = resume_stream(train_loader, skip)
+        if args.max_epoch_steps:  # same cap semantics as train/loop.py
+            import itertools
+
+            stream = itertools.islice(stream, args.max_epoch_steps)
+        for i, (images, _) in enumerate(stream, start=skip):
             load_time = time.time() - st
             images = (runner.put_batch(images) if runner is not None
                       else jnp.asarray(images))
@@ -251,7 +277,12 @@ def main():
                 state, vq_stats, images, usage)
             prev_loss = metrics["train/loss"]
             if is_log:
-                host = {k: float(jax.device_get(v)) for k, v in metrics.items()}
+                metrics = dict(jax.device_get(metrics))
+                hists = metrics.pop("_hists", None)
+                if hists is not None:
+                    logger.log_histograms(
+                        hists, step=int(jax.device_get(state.step)))
+                host = {k: float(v) for k, v in metrics.items()}
                 step_time = time.time() - st - (0.0 if rebased else load_time)
                 host.update({"train/epoch": epoch,
                              "benchmark/load_time": load_time,

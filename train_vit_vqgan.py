@@ -41,7 +41,17 @@ def parse_args():
     # --- rebuild-only flags ---
     parser.add_argument('--data_dir', type=str, default=None)
     parser.add_argument('--steps_per_epoch', type=int, default=100)
+    parser.add_argument('--max_epoch_steps', type=int, default=0,
+                        help='cap batches per epoch for any loader (0 = full '
+                             'loader); smoke runs over huge virtual epochs, '
+                             'and the per-epoch equalizer for uneven '
+                             'multihost streaming shards')
     parser.add_argument('--perceptual_weights', type=str, default=None)
+    parser.add_argument('--perceptual_quant', type=str, default=None,
+                        choices=[None, 'int8'],
+                        help='int8: run the frozen perceptual net on the '
+                             'int8 MXU path (2x bf16 peak); loss semantics '
+                             'unchanged (vit_tpu/losses/perceptual.py)')
     parser.add_argument('--perceptual_weight', type=float, default=1.0)
     parser.add_argument('--quantizer', type=str, default='vq', choices=['vq', 'fsq'])
     parser.add_argument('--attn_impl', type=str, default=None,
@@ -60,6 +70,10 @@ def parse_args():
     parser.add_argument('--image_every', type=int, default=5000)
     parser.add_argument('--seed', type=int, default=0)
     parser.add_argument('--no_wandb', action='store_true')
+    parser.add_argument('--watch', action='store_true',
+                        help='log per-layer gradient+parameter histograms at '
+                             'every log point (wandb.watch parity, reference '
+                             'train_tatitok.py:155) to the TensorBoard sink/wandb')
     from vit_tpu.train.distributed import add_mesh_args
     add_mesh_args(parser)  # --mesh dp,fsdp,tp (shared across entry points)
     args = parser.parse_args()

@@ -26,15 +26,16 @@ from vit_tpu.utils.logging import MetricsLogger
 
 def build_perceptual(args, dtype):
     spec = getattr(args, "perceptual_weights", None)
-    if spec == "random":
-        from vit_tpu.losses.perceptual import PerceptualLoss
+    if not spec:
+        return None
+    from vit_tpu.losses.perceptual import PerceptualLoss
 
-        return PerceptualLoss(PerceptualLoss.init_params(), dtype=dtype)
-    if spec:
-        from vit_tpu.losses.perceptual import PerceptualLoss
-
-        return PerceptualLoss(PerceptualLoss.load_params(spec), dtype=dtype)
-    return None
+    # --perceptual_quant int8: the frozen net's GEMMs on the int8 MXU path
+    # (2× bf16 peak); loss semantics unchanged (see losses/perceptual.py)
+    quant = getattr(args, "perceptual_quant", None) or "none"
+    params = (PerceptualLoss.init_params() if spec == "random"
+              else PerceptualLoss.load_params(spec))
+    return PerceptualLoss(params, dtype=dtype, quant=quant)
 
 
 def run_tokenizer_training(args, model, model_config, train_loader, *,
@@ -79,7 +80,8 @@ def run_tokenizer_training(args, model, model_config, train_loader, *,
         model, perceptual_loss_fn=perceptual,
         perceptual_weight=(perceptual_weight if perceptual_weight is not None
                            else getattr(args, "perceptual_weight", 1.0)),
-        pixel_loss=pixel_loss)
+        pixel_loss=pixel_loss,
+        watch=bool(getattr(args, "watch", False)))
     if runner is not None:
         # dp/fsdp/tp: state sharded per parallel/sharding.py rules, batch over
         # the "data" axis; XLA inserts the grad-psum / param-all-gather
@@ -132,8 +134,19 @@ def run_tokenizer_training(args, model, model_config, train_loader, *,
     for epoch in range(start_epoch, args.epochs):
         skip = skip0 if epoch == start_epoch else 0
         st = time.time()
+        # --max_epoch_steps caps batches per epoch for ANY loader (0 = full
+        # loader): smoke/e2e runs over real-data loaders with huge virtual
+        # epochs (ImagesFromVideoDataset's reference 1000× length), and the
+        # explicit per-epoch equalizer for multihost streaming datasets whose
+        # shards hold uneven sample counts (data/wds.py:StreamingWebDataset).
+        stream = resume_stream(train_loader, skip)
+        cap = getattr(args, "max_epoch_steps", 0) or 0
+        if cap:
+            import itertools
+
+            stream = itertools.islice(stream, cap)
         for i, (images, _) in enumerate(
-                device_prefetch(resume_stream(train_loader, skip),
+                device_prefetch(stream,
                                 lambda b: (put(b[0]), b[1])), start=skip):
             if profile_dir and global_i == 10:
                 jax.profiler.start_trace(profile_dir)
@@ -163,6 +176,9 @@ def run_tokenizer_training(args, model, model_config, train_loader, *,
                 # 8 sequential scalar fetches; bench.py's 0.245 s is the true
                 # step).
                 fetched, step_now = jax.device_get((metrics, state.step))
+                hists = fetched.pop("_hists", None)
+                if hists is not None and is_proc0:
+                    logger.log_histograms(hists, step=int(step_now))
                 host = {k: float(v) for k, v in fetched.items()}
                 step_time = time.time() - st - (0.0 if rebased else load_time)
                 # after device_get: the fetch is the only reliable completion

@@ -46,13 +46,19 @@ def make_classifier_train_step(model) -> Callable:
 
 def make_tokenizer_train_step(model, *, perceptual_loss_fn: Optional[Callable] = None,
                               perceptual_weight: float = 1.0,
-                              pixel_loss: str = "l2") -> Callable:
+                              pixel_loss: str = "l2",
+                              watch: bool = False) -> Callable:
     """Tokenizer (TiTok / ViT-VQGAN) step.
 
     Reference loop bodies: train_titok.py:149-163 (pixel loss is squared error despite
     the ``l1_loss`` variable name), train_vit_vqgan.py:149-160 (true L1). Codebook
     usage is tracked as an on-device bitmap updated by scatter, replacing the
     reference's ``codebook_usage[indices] = 1`` (train_titok.py:164-167).
+
+    ``watch=True`` (--watch): per-layer gradient+parameter HISTOGRAMS ride the
+    metrics tree under "_hists" — the full wandb.watch parity surface
+    (reference train_tatitok.py:155); computed on-device (64 bins/layer), the
+    loop routes them to MetricsLogger.log_histograms at log points.
     """
 
     def train_step(state: TrainState, images, usage, rng):
@@ -80,6 +86,11 @@ def make_tokenizer_train_step(model, *, perceptual_loss_fn: Optional[Callable] =
 
         (_, (indices, metrics, recon)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
+        if watch:
+            from vit_tpu.utils.metrics import tree_histograms
+
+            metrics["_hists"] = {**tree_histograms(grads, "grad_hist"),
+                                 **tree_histograms(state.params, "param_hist")}
         state = state.apply_gradients(grads=grads)
         # wandb.watch-equivalent scalar (reference train_tatitok.py:155), read
         # from the recording clip's state — zero extra gradient passes

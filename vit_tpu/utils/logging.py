@@ -113,6 +113,36 @@ class MetricsLogger:
         self._fh.write(json.dumps(payload) + "\n")
         self._fh.flush()
 
+    def log_histograms(self, hists: Dict[str, Any], step: Optional[int] = None):
+        """Per-layer histogram summaries — the full ``wandb.watch`` parity
+        surface (reference train_tatitok.py:155). ``hists`` maps
+        '<prefix>/<param/path>' → (bucket_counts, bin_edges) as produced
+        on-device by utils.metrics.tree_histograms; rendered via TensorBoard's
+        raw-histogram protocol and wandb.Histogram when wandb is present."""
+        import numpy as np
+
+        if not self._active:
+            return
+        if self._wandb_run is not None:
+            self._wandb_run.log(
+                {k: _wandb.Histogram(np_histogram=(np.asarray(c), np.asarray(e)))
+                 for k, (c, e) in hists.items()}, step=step)
+        if self._tb is not None:
+            try:
+                for k, (counts, edges) in hists.items():
+                    counts = np.asarray(counts, np.float64)
+                    edges = np.asarray(edges, np.float64)
+                    mids = (edges[:-1] + edges[1:]) / 2.0
+                    self._tb.add_histogram_raw(
+                        k, min=float(edges[0]), max=float(edges[-1]),
+                        num=int(counts.sum()), sum=float((mids * counts).sum()),
+                        sum_squares=float((mids ** 2 * counts).sum()),
+                        bucket_limits=edges[1:].tolist(),
+                        bucket_counts=counts.tolist(), global_step=step)
+            except Exception as e:
+                print(f"[logging] TensorBoard sink disabled mid-run: {e!r}")
+                self._tb = None
+
     def log_images(self, images: Dict[str, Any], step: Optional[int] = None):
         """Log image grids (reference logs wandb.Image grids, train_titok.py:173-177).
         Without wandb, PNGs are written next to the JSONL under <run>/images/."""

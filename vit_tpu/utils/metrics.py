@@ -80,3 +80,21 @@ def tree_norms(tree, prefix: str) -> dict:
         out[f"{prefix}/{name}"] = jnp.linalg.norm(
             leaf.astype(jnp.float32).reshape(-1))
     return out
+
+
+def tree_histograms(tree, prefix: str, bins: int = 64) -> dict:
+    """Per-layer value histograms, '<prefix>/<param/path>' → (counts, edges) —
+    the full wandb.watch parity surface (reference train_tatitok.py:155 logs
+    gradient/parameter HISTOGRAMS, not just norms). Computed ON DEVICE inside
+    the jitted step (jnp.histogram is jit-safe: data-dependent bin edges,
+    static shapes), so the host only ever fetches bins+1 floats per layer —
+    cheap enough to ride the existing one-device_get metrics flush
+    (train/loop.py). Rendered by MetricsLogger.log_histograms into the
+    TensorBoard sink (add_histogram_raw) and wandb when present."""
+    out = {}
+    for path, leaf in jax.tree_util.tree_leaves_with_path(tree):
+        name = "/".join(str(getattr(p, "key", getattr(p, "idx", p)))
+                        for p in path)
+        out[f"{prefix}/{name}"] = jnp.histogram(
+            leaf.astype(jnp.float32).reshape(-1), bins=bins)
+    return out
