@@ -126,3 +126,82 @@ def test_row_padding_odd_n():
         y = frozen_convnext_block_tail(h, x, lns, lnb, w1, b1, w2, b2, gamma)
         assert y.shape == (n, c)
         assert np.all(np.isfinite(np.asarray(y)))
+
+
+@pytest.mark.parametrize("c", [96, 256])
+def test_int8_forward_close_to_fp(c):
+    """quant="int8" (--perceptual_quant): both pwconv GEMMs int8 — output
+    tracks the fp oracle within the symmetric-127-level error model
+    (~1% relative RMS per matmul, core/quant.py docstring)."""
+    block, params, x = _init_block(c, jnp.float32, "xla")
+    q8 = ConvNeXtBlock(c, dtype=jnp.float32, mlp_impl="fused", quant="int8")
+    ref = block.apply({"params": params}, x)
+    got = q8.apply({"params": params}, x)
+    rel = float(jnp.linalg.norm(got - ref) / (jnp.linalg.norm(ref) + 1e-8))
+    assert rel < 0.05, rel
+    # and it is NOT bit-identical (the int8 path is actually engaged)
+    assert float(jnp.max(jnp.abs(got - ref))) > 0.0
+
+
+def test_int8_input_gradient_close_and_frozen(c=96):
+    """The straight-through int8 backward tracks the fp dx and upholds the
+    frozen-weight contract (zero parameter cotangents)."""
+    block, params, x = _init_block(c, jnp.float32, "xla")
+    q8 = ConvNeXtBlock(c, dtype=jnp.float32, mlp_impl="fused", quant="int8")
+
+    def loss(m):
+        return lambda xx: jnp.sum(m.apply({"params": params}, xx) ** 2)
+
+    g_ref = jax.grad(loss(block))(x)
+    g_q8 = jax.grad(loss(q8))(x)
+    rel = float(jnp.linalg.norm(g_q8 - g_ref) /
+                (jnp.linalg.norm(g_ref) + 1e-8))
+    assert rel < 0.1, rel
+
+    gp = jax.grad(lambda p: jnp.sum(
+        q8.apply({"params": p}, x)))(params)
+    # dwconv params DO get gradients (outside the fused tail); tail params not
+    for name in ("norm", "pwconv1", "pwconv2", "gamma"):
+        sub = gp[name] if name in gp else None
+        leaves = jax.tree_util.tree_leaves(sub)
+        assert all(float(jnp.max(jnp.abs(l))) == 0.0 for l in leaves), name
+
+
+def test_frozen_int8_dense_numerics():
+    """XLA int8 path for the stage-3 (C=768) unfused blocks."""
+    from vit_tpu.core.quant import frozen_int8_dense
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(32, 64)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(64, 128)), jnp.float32)
+    b = jnp.asarray(rng.normal(size=(128,)), jnp.float32)
+    y = frozen_int8_dense(x, w, b)
+    ref = x @ w + b
+    assert float(jnp.linalg.norm(y - ref) / jnp.linalg.norm(ref)) < 0.03
+    gx = jax.grad(lambda x: jnp.sum(frozen_int8_dense(x, w, b) ** 2))(x)
+    gref = jax.grad(lambda x: jnp.sum((x @ w + b) ** 2))(x)
+    assert float(jnp.linalg.norm(gx - gref) / jnp.linalg.norm(gref)) < 0.05
+    gw, gb = jax.grad(lambda w, b: jnp.sum(frozen_int8_dense(x, w, b)),
+                      argnums=(0, 1))(w, b)
+    assert float(jnp.max(jnp.abs(gw))) == 0.0
+    assert float(jnp.max(jnp.abs(gb))) == 0.0
+
+
+def test_perceptual_loss_int8_smoke():
+    """PerceptualLoss(quant="int8") end-to-end: finite, close to fp, grads flow
+    to the images (stage-3 XLA int8 + fused int8 tails in one graph)."""
+    from vit_tpu.losses.perceptual import ConvNeXt, PerceptualLoss
+
+    params = PerceptualLoss.init_params()
+    fp = PerceptualLoss(params, mlp_impl="xla")
+    q8 = PerceptualLoss(params, mlp_impl="fused", quant="int8")
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.uniform(0, 1, (1, 32, 32, 3)), jnp.float32)
+    y = jnp.asarray(rng.uniform(0, 1, (1, 32, 32, 3)), jnp.float32)
+    ref = float(fp(x, y))
+    got = float(q8(x, y))
+    assert np.isfinite(got)
+    assert abs(got - ref) / (abs(ref) + 1e-8) < 0.2, (got, ref)
+    g = jax.grad(lambda x: q8(x, y))(x)
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.max(jnp.abs(g))) > 0.0

@@ -124,6 +124,81 @@ def _bwd_kernel(h_ref, dy_ref, lns_ref, lnb_ref, w1_ref, w1t_ref, w2t_ref,
     dh_ref[...] = dh.astype(dh_ref.dtype)
 
 
+def _quant_rows(v32):
+    """Per-row symmetric int8 quantization (dynamic, in-kernel): v ≈ q · s."""
+    absmax = jnp.max(jnp.abs(v32), axis=-1, keepdims=True)
+    s = jnp.maximum(absmax, 1e-8) * (1.0 / 127.0)
+    q = jnp.clip(jnp.round(v32 / s), -127, 127).astype(jnp.int8)
+    return q, s
+
+
+def _fwd_kernel_q8(h_ref, x_ref, lns_ref, lnb_ref, w1q_ref, w1s_ref, b1_ref,
+                   w2q_ref, w2s_ref, b2_ref, g_ref, o_ref, *, eps: float):
+    """int8 forward tile: both pwconv GEMMs run int8×int8→int32 on the MXU
+    (2× the bf16 peak on v5e, 394 vs 197 TOPS) with dynamic per-row activation
+    scales and per-output-channel frozen-weight scales — the weight-side
+    quantization is exact-once (net is frozen), the activation side is the
+    same dynamic scheme as core/quant.py:int8_matmul. VERDICT r3 next #1."""
+    uhat, _ = _normalize(h_ref[...].astype(jnp.float32), eps)
+    u = uhat * lns_ref[...].astype(jnp.float32) + lnb_ref[...].astype(jnp.float32)
+    uq, us = _quant_rows(u)
+    z = jax.lax.dot_general(uq, w1q_ref[...], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32)
+    z = (z.astype(jnp.float32) * us * w1s_ref[...].astype(jnp.float32)
+         + b1_ref[...].astype(jnp.float32))
+    a = _gelu(z)
+    aq, as_ = _quant_rows(a)
+    o = jax.lax.dot_general(aq, w2q_ref[...], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32)
+    o = (o.astype(jnp.float32) * as_ * w2s_ref[...].astype(jnp.float32)
+         + b2_ref[...].astype(jnp.float32))
+    y = x_ref[...].astype(jnp.float32) + g_ref[...].astype(jnp.float32) * o
+    o_ref[...] = y.astype(o_ref.dtype)
+
+
+def _bwd_kernel_q8(h_ref, dy_ref, lns_ref, lnb_ref, w1q_ref, w1s_ref,
+                   w1tq_ref, w1ts_ref, w2tq_ref, w2ts_ref, b1_ref, g_ref,
+                   dh_ref, *, eps: float):
+    """int8 dh tile (recompute-from-h): z recomputed with the SAME int8
+    arithmetic as the forward (consistent straight-through gradient), and the
+    two backward GEMMs (da = do·W2ᵀ, du = dz·W1ᵀ) run int8 too — the
+    transposed weights carry their own per-output-channel scales."""
+    uhat, rstd = _normalize(h_ref[...].astype(jnp.float32), eps)
+    u = uhat * lns_ref[...].astype(jnp.float32) + lnb_ref[...].astype(jnp.float32)
+    uq, us = _quant_rows(u)
+    z = jax.lax.dot_general(uq, w1q_ref[...], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32)
+    z = (z.astype(jnp.float32) * us * w1s_ref[...].astype(jnp.float32)
+         + b1_ref[...].astype(jnp.float32))
+
+    do = dy_ref[...].astype(jnp.float32) * g_ref[...].astype(jnp.float32)
+    doq, dos = _quant_rows(do)
+    da = jax.lax.dot_general(doq, w2tq_ref[...], (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.int32)
+    da = da.astype(jnp.float32) * dos * w2ts_ref[...].astype(jnp.float32)
+    dz = da * _gelu_grad(z)
+    dzq, dzs = _quant_rows(dz)
+    du = jax.lax.dot_general(dzq, w1tq_ref[...], (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.int32)
+    du = du.astype(jnp.float32) * dzs * w1ts_ref[...].astype(jnp.float32)
+    dhat = du * lns_ref[...].astype(jnp.float32)
+    c1 = jnp.mean(dhat, axis=-1, keepdims=True)
+    c2 = jnp.mean(dhat * uhat, axis=-1, keepdims=True)
+    dh = rstd * (dhat - c1 - uhat * c2)
+    dh_ref[...] = dh.astype(dh_ref.dtype)
+
+
+def _quant_cols(w):
+    """Per-output-channel symmetric int8 quantization of a (K, N) matrix
+    (core/quant.py:quantize_kernel semantics, local to keep the kernel module
+    import-light)."""
+    w32 = w.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(w32), axis=0)
+    s = jnp.maximum(absmax, 1e-8) * (1.0 / 127.0)
+    q = jnp.clip(jnp.round(w32 / s), -127, 127).astype(jnp.int8)
+    return q, s
+
+
 def _row_tile(c: int) -> int:
     # VMEM: z fp32 (R, 4C) dominates; keep the bwd's three resident weight
     # matrices + tiles within budget.
@@ -205,15 +280,87 @@ def _bwd_impl(h, g, lns, lnb, w1, b1, gamma, *, eps: float, w2):
     return dh[:n]
 
 
+def _fwd_impl_q8(h, x, lns, lnb, w1, b1, w2, b2, gamma, *, eps: float):
+    n, c = h.shape
+    c4 = w1.shape[1]
+    r = _row_tile(c)
+    n_pad = _ceil_to(max(n, _SUBLANE), r) if n > r else _ceil_to(n, _SUBLANE)
+    r = min(r, n_pad)
+    hp, xp = _pad_rows(h, n_pad), _pad_rows(x, n_pad)
+    dt = h.dtype
+    interpret = jax.default_backend() != "tpu"
+    # weight quantization happens in XLA outside the kernel: exact-once math
+    # (frozen net), recomputed per step at negligible cost (~600k elements)
+    w1q, w1s = _quant_cols(w1)
+    w2q, w2s = _quant_cols(w2)
+    row = pl.BlockSpec((r, c), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel_q8, eps=eps),
+        grid=(n_pad // r,),
+        in_specs=[row, row, _vec_spec(c), _vec_spec(c), _mat_spec(c, c4),
+                  _vec_spec(c4), _vec_spec(c4), _mat_spec(c4, c), _vec_spec(c),
+                  _vec_spec(c), _vec_spec(c)],
+        out_specs=row,
+        out_shape=jax.ShapeDtypeStruct((n_pad, c), dt),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * n_pad * c * c4,
+            bytes_accessed=3 * n_pad * c * dt.itemsize,
+            transcendentals=n_pad * c4,
+        ),
+        interpret=interpret,
+    )(hp, xp, lns.astype(dt), lnb.astype(dt), w1q, w1s,
+      b1.astype(dt), w2q, w2s, b2.astype(dt), gamma.astype(dt))
+    return out[:n]
+
+
+def _bwd_impl_q8(h, g, lns, lnb, w1, b1, gamma, *, eps: float, w2):
+    n, c = h.shape
+    c4 = w1.shape[1]
+    r = _row_tile(c)
+    n_pad = _ceil_to(max(n, _SUBLANE), r) if n > r else _ceil_to(n, _SUBLANE)
+    r = min(r, n_pad)
+    hp, gp = _pad_rows(h, n_pad), _pad_rows(g, n_pad)
+    dt = h.dtype
+    interpret = jax.default_backend() != "tpu"
+    w1q, w1s = _quant_cols(w1)
+    w1tq, w1ts = _quant_cols(jnp.swapaxes(w1, 0, 1))
+    w2tq, w2ts = _quant_cols(jnp.swapaxes(w2, 0, 1))
+    row = pl.BlockSpec((r, c), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    dh = pl.pallas_call(
+        functools.partial(_bwd_kernel_q8, eps=eps),
+        grid=(n_pad // r,),
+        in_specs=[row, row, _vec_spec(c), _vec_spec(c), _mat_spec(c, c4),
+                  _vec_spec(c4), _mat_spec(c4, c), _vec_spec(c),
+                  _mat_spec(c, c4), _vec_spec(c4), _vec_spec(c4),
+                  _vec_spec(c)],
+        out_specs=row,
+        out_shape=jax.ShapeDtypeStruct((n_pad, c), dt),
+        cost_estimate=pl.CostEstimate(
+            flops=6 * n_pad * c * c4,
+            bytes_accessed=3 * n_pad * c * dt.itemsize,
+            transcendentals=2 * n_pad * c4,
+        ),
+        interpret=interpret,
+    )(hp, gp, lns.astype(dt), lnb.astype(dt), w1q, w1s, w1tq, w1ts,
+      w2tq, w2ts, b1.astype(dt), gamma.astype(dt))
+    return dh[:n]
+
+
+_FWD_IMPLS = {"none": _fwd_impl, "int8": _fwd_impl_q8}
+_BWD_IMPLS = {"none": _bwd_impl, "int8": _bwd_impl_q8}
+
+
 # --- GSPMD partitioning: rows (flattened batch·spatial) shard freely -----------
 
 @functools.lru_cache(maxsize=None)
-def _fwd_cp(eps: float):
+def _fwd_cp(eps: float, quant: str = "none"):
     from jax.experimental.custom_partitioning import custom_partitioning
+
+    impl = _FWD_IMPLS[quant]
 
     @custom_partitioning
     def fwd(h, x, lns, lnb, w1, b1, w2, b2, gamma):
-        return _fwd_impl(h, x, lns, lnb, w1, b1, w2, b2, gamma, eps=eps)
+        return impl(h, x, lns, lnb, w1, b1, w2, b2, gamma, eps=eps)
 
     def infer(mesh, arg_infos, result_infos):
         (nspec,) = lead_spec(arg_infos[0], 1)
@@ -227,7 +374,7 @@ def _fwd_cp(eps: float):
         arg_sh = (sh, sh, rep1, rep1, rep2, rep1, rep2, rep1, rep1)
 
         def lower(h, x, lns, lnb, w1, b1, w2, b2, gamma):
-            return _fwd_impl(h, x, lns, lnb, w1, b1, w2, b2, gamma, eps=eps)
+            return impl(h, x, lns, lnb, w1, b1, w2, b2, gamma, eps=eps)
 
         return mesh, lower, sh, arg_sh
 
@@ -238,12 +385,14 @@ def _fwd_cp(eps: float):
 
 
 @functools.lru_cache(maxsize=None)
-def _bwd_cp(eps: float):
+def _bwd_cp(eps: float, quant: str = "none"):
     from jax.experimental.custom_partitioning import custom_partitioning
+
+    impl = _BWD_IMPLS[quant]
 
     @custom_partitioning
     def bwd(h, g, lns, lnb, w1, b1, w2, gamma):
-        return _bwd_impl(h, g, lns, lnb, w1, b1, gamma, eps=eps, w2=w2)
+        return impl(h, g, lns, lnb, w1, b1, gamma, eps=eps, w2=w2)
 
     def infer(mesh, arg_infos, result_infos):
         (nspec,) = lead_spec(arg_infos[0], 1)
@@ -257,7 +406,7 @@ def _bwd_cp(eps: float):
         arg_sh = (sh, sh, rep1, rep1, rep2, rep1, rep2, rep1)
 
         def lower(h, g, lns, lnb, w1, b1, w2, gamma):
-            return _bwd_impl(h, g, lns, lnb, w1, b1, gamma, eps=eps, w2=w2)
+            return impl(h, g, lns, lnb, w1, b1, gamma, eps=eps, w2=w2)
 
         return mesh, lower, sh, arg_sh
 
@@ -267,19 +416,19 @@ def _bwd_cp(eps: float):
     return bwd
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(9,))
-def _block_tail(h, x, lns, lnb, w1, b1, w2, b2, gamma, eps):
-    return _fwd_cp(eps)(h, x, lns, lnb, w1, b1, w2, b2, gamma)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10))
+def _block_tail(h, x, lns, lnb, w1, b1, w2, b2, gamma, eps, quant):
+    return _fwd_cp(eps, quant)(h, x, lns, lnb, w1, b1, w2, b2, gamma)
 
 
-def _tail_fwd(h, x, lns, lnb, w1, b1, w2, b2, gamma, eps):
-    y = _fwd_cp(eps)(h, x, lns, lnb, w1, b1, w2, b2, gamma)
+def _tail_fwd(h, x, lns, lnb, w1, b1, w2, b2, gamma, eps, quant):
+    y = _fwd_cp(eps, quant)(h, x, lns, lnb, w1, b1, w2, b2, gamma)
     return y, (h, lns, lnb, w1, b1, w2, b2, gamma)
 
 
-def _tail_bwd(eps, res, g):
+def _tail_bwd(eps, quant, res, g):
     h, lns, lnb, w1, b1, w2, b2, gamma = res
-    dh = _bwd_cp(eps)(h, g, lns, lnb, w1, b1, w2, gamma)
+    dh = _bwd_cp(eps, quant)(h, g, lns, lnb, w1, b1, w2, gamma)
     # FROZEN-WEIGHT CONTRACT (module docstring): parameter cotangents are zero.
     zeros = jax.tree.map(jnp.zeros_like, (lns, lnb, w1, b1, w2, b2, gamma))
     return (dh, g, *zeros)
@@ -293,11 +442,19 @@ def fused_supported(c: int, c4: int) -> bool:
 
 
 def frozen_convnext_block_tail(h, x, ln_scale, ln_bias, w1, b1, w2, b2, gamma,
-                               *, eps: float = 1e-6):
+                               *, eps: float = 1e-6, quant: str = "none"):
     """y = x + γ ⊙ (gelu(LN(h)·W1 + b1)·W2 + b2), fused in VMEM per row tile.
 
     h, x: (N, C) — the depthwise-conv output and the block input (residual),
     rows = flattened batch·spatial. Gradients flow to h and x ONLY (frozen-weight
     contract, see module docstring). Caller must check ``fused_supported(C, 4C)``.
+
+    ``quant="int8"``: both pwconv GEMMs (forward AND the dx-only backward)
+    run int8×int8→int32 on the MXU at 2× the bf16 peak (394 vs 197 TOPS on
+    v5e) — valid for the frozen perceptual net only (per-step weight
+    quantization is exact-once math; activation scales are dynamic per row;
+    the straight-through backward recomputes z with IDENTICAL int8
+    arithmetic). VERDICT r3 next #1.
     """
-    return _block_tail(h, x, ln_scale, ln_bias, w1, b1, w2, b2, gamma, eps)
+    return _block_tail(h, x, ln_scale, ln_bias, w1, b1, w2, b2, gamma, eps,
+                       quant)

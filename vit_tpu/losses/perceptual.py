@@ -134,6 +134,7 @@ class ConvNeXtBlock(nn.Module):
     dw_impl: str = "lax"
     mlp_impl: str = "auto"
     layout: str = "nhwc"
+    quant: str = "none"  # "int8": frozen-net pwconv GEMMs on the int8 MXU path
 
     @nn.compact
     def __call__(self, x):
@@ -161,7 +162,8 @@ class ConvNeXtBlock(nn.Module):
             y = frozen_convnext_block_tail(
                 h.reshape(-1, c),
                 x.astype(h.dtype).reshape(-1, c),
-                lns, lnb, w1, b1, w2, b2, gamma, eps=1e-6)
+                lns, lnb, w1, b1, w2, b2, gamma, eps=1e-6,
+                quant=self.quant)
             return y.reshape(shape)
         # LN output in compute dtype (flax upcasts half dtypes to fp32 for the
         # statistics) — fp32 LN outputs doubled HBM traffic on this
@@ -172,9 +174,21 @@ class ConvNeXtBlock(nn.Module):
         # transformer's matmuls); the flatten puts a layout boundary there.
         h = h.reshape(-1, c)
         h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(h)
-        h = nn.Dense(4 * self.dim, dtype=self.dtype, name="pwconv1")(h)
-        h = nn.gelu(h, approximate=False)
-        h = nn.Dense(self.dim, dtype=self.dtype, name="pwconv2")(h)
+        if self.quant == "int8":
+            # stage-3 blocks (C=768, beyond the fused kernel's VMEM gate) on
+            # the XLA int8 path: same exact-once weight quantization, dynamic
+            # per-row activation scales, STE backward (frozen net — no dW)
+            from vit_tpu.core.quant import frozen_int8_dense
+
+            w1, b1 = _DenseParams(c, 4 * c, name="pwconv1")()
+            w2, b2 = _DenseParams(4 * c, c, name="pwconv2")()
+            h = frozen_int8_dense(h, w1, b1)
+            h = nn.gelu(h.astype(self.dtype), approximate=False)
+            h = frozen_int8_dense(h, w2, b2).astype(self.dtype)
+        else:
+            h = nn.Dense(4 * self.dim, dtype=self.dtype, name="pwconv1")(h)
+            h = nn.gelu(h, approximate=False)
+            h = nn.Dense(self.dim, dtype=self.dtype, name="pwconv2")(h)
         h = h.reshape(shape)
         gamma = self.param("gamma", nn.initializers.constant(1e-6), (self.dim,),
                            jnp.float32)
@@ -191,6 +205,7 @@ class ConvNeXt(nn.Module):
     dw_impl: str = "lax"
     mlp_impl: str = "auto"
     layout: str = "nhwc"  # "hwnc": input is (H, W, B, C), batch-innermost
+    quant: str = "none"  # "int8": frozen-net GEMMs on the int8 MXU path
 
     def _conv(self, x, ksize, din, dout, name):
         """Strided conv with nn.Conv's exact param tree, explicit layout."""
@@ -214,6 +229,7 @@ class ConvNeXt(nn.Module):
             for block in range(depth):
                 x = ConvNeXtBlock(dim, dtype=self.dtype, dw_impl=self.dw_impl,
                                   mlp_impl=self.mlp_impl, layout=self.layout,
+                                  quant=self.quant,
                                   name=f"stage{stage}_block{block}")(x)
         # global average pool over the spatial axes of the active layout
         x = jnp.mean(x, axis=(1, 2) if self.layout == "nhwc" else (0, 1))
@@ -225,7 +241,7 @@ class PerceptualLoss:
     """Frozen ConvNeXt-S logit-matching loss (reference perceptual_loss.py:56-70)."""
 
     def __init__(self, params=None, *, dtype=jnp.float32, dw_impl="lax",
-                 mlp_impl="auto", layout="auto"):
+                 mlp_impl="auto", layout="auto", quant="none"):
         # dw_impl: "lax" (default) or "pallas". The Pallas depthwise now has a
         # fully fused backward (kernels/depthwise.py) but measured SLOWER
         # in-context on this chip (flagship profile r2: 69.9 ms/step pallas
@@ -247,8 +263,14 @@ class PerceptualLoss:
         if layout == "auto":
             layout = "nhwc"
         self.layout = layout
+        # quant="int8" (--perceptual_quant int8): the frozen net's pwconv
+        # GEMMs run int8×int8→int32 on the MXU (2× bf16 peak) — fused-kernel
+        # int8 variants for stages 0-2, XLA int8 dense for stage 3. The loss
+        # SEMANTICS are unchanged (logit MSE, reference perceptual_loss.py:
+        # 27-70); only the frozen net's arithmetic changes. Loss-curve parity
+        # is A/B-validated like the bf16-mu switch (BENCHMARKS.md).
         self.model = ConvNeXt(dtype=dtype, dw_impl=dw_impl, mlp_impl=mlp_impl,
-                              layout=layout)
+                              layout=layout, quant=quant)
         self.params = params
 
     @staticmethod
