@@ -173,13 +173,18 @@ def frozen_int8_dense(x, w, b):
 
 def _frozen_int8_fwd(x, w, b):
     wq, ws = quantize_kernel(w)
-    return int8_matmul(x, wq, ws) + b.astype(jnp.float32), (w, b)
+    # residuals must be JAX types: carry the primal dtype as a 0-size array
+    return (int8_matmul(x, wq, ws) + b.astype(jnp.float32),
+            (w, b, jnp.zeros((0,), x.dtype)))
 
 
 def _frozen_int8_bwd(res, dy):
-    w, b = res
+    w, b, x_proto = res
+    x_dtype = x_proto.dtype
     wtq, wts = quantize_kernel(jnp.swapaxes(w, 0, 1))
-    dx = int8_matmul(dy, wtq, wts)
+    # cotangent dtype must match the primal's (e.g. bf16 activations feeding
+    # the f32 int8_matmul output) or downstream VJPs see mixed-dtype muls
+    dx = int8_matmul(dy, wtq, wts).astype(x_dtype)
     return dx, jnp.zeros_like(w), jnp.zeros_like(b)
 
 
