@@ -57,6 +57,26 @@ def _time(fn, *args, iters=20):
     return (time.perf_counter() - t0) / iters
 
 
+def _time_chained(fn, x, k, iters=20):
+    """fori-loop-chained timing: output feeds the next input, stripping the
+    ~1.2 ms per-dispatch floor that swamps sub-ms ops in the loop above
+    (scripts/bench_dwconv.py round-3 methodology)."""
+
+    @jax.jit
+    def run(x, k):
+        # cast back to the input dtype so formulations that accumulate in f32
+        # (im2col_batched) still chain without changing the timed op
+        return jax.lax.fori_loop(
+            0, iters, lambda i, xx: fn(xx, k).astype(x.dtype), x)
+
+    out = run(x, k)
+    jax.device_get(jnp.sum(out))
+    t0 = time.perf_counter()
+    out = run(x, k)
+    jax.device_get(jnp.sum(out))
+    return (time.perf_counter() - t0) / iters
+
+
 def dw_lax(x, k):
     """Baseline: XLA grouped conv (the production path, DWConv7)."""
     c = x.shape[-1]
@@ -111,17 +131,18 @@ def main():
         k = jnp.asarray(rng.normal(size=(7, 7, c)), dt)
         macs = n * hw * hw * c * 49
 
-        row = {"lax": _time(jax.jit(dw_lax), x, k, iters=args.iters)}
+        row = {"lax": _time_chained(dw_lax, x, k, iters=args.iters)}
         for g in (8, 32, min(128, c)):
             if c % g == 0:
-                f = jax.jit(functools.partial(dw_blockdiag, g=g))
+                f = functools.partial(dw_blockdiag, g=g)
                 try:
-                    row[f"blockdiag_g{g}"] = _time(f, x, k, iters=args.iters)
+                    row[f"blockdiag_g{g}"] = _time_chained(
+                        f, x, k, iters=args.iters)
                 except Exception as e:
                     row[f"blockdiag_g{g}"] = f"ERR {type(e).__name__}"
         try:
-            row["im2col_batched"] = _time(jax.jit(dw_im2col_batched), x, k,
-                                          iters=args.iters)
+            row["im2col_batched"] = _time_chained(dw_im2col_batched, x, k,
+                                                  iters=args.iters)
         except Exception as e:
             row["im2col_batched"] = f"ERR {type(e).__name__}"
 
