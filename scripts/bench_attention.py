@@ -52,7 +52,7 @@ def main():
     n_embd = h * d
     key = jax.random.PRNGKey(0)
     qkv = jax.random.normal(key, (b, s, 3 * n_embd), jnp.bfloat16)
-    seed = jnp.zeros((2,), jnp.int32)
+    seed = jnp.zeros((), jnp.int32)
 
     fwd_flops = 4 * b * h * s * s * d
     bwd_flops = 10 * b * h * s * s * d

@@ -652,6 +652,11 @@ def _fa_packed_kernel(q_ref, k_ref, v_ref, bias_ref, seed_ref, o_ref, *,
     # qkv bias segments are added here in VMEM so the backward can emit the bias
     # gradient without XLA re-reading the (B,S,3D) dqkv just to column-sum it.
     h2n = n_heads * head_dim // _LANES
+    # When 1/sqrt(d) is a power of two (d=64 → 1/8: every MHA shape this kernel
+    # serves) fold it into q up front: one (BQ,L) low-precision multiply per
+    # batch row instead of a (BQ,Sp) fp32 pass per unit — bit-exact, since
+    # pow2 scaling of a float is exponent arithmetic (no mantissa rounding).
+    scale_pow2 = scale == 2.0 ** round(math.log2(scale))
     units = []                             # (bi, j, q, kt, v)
     for bi in range(bb):
         qp, kp, vp = q_ref[bi], k_ref[bi], v_ref[bi]
@@ -663,19 +668,24 @@ def _fa_packed_kernel(q_ref, k_ref, v_ref, bias_ref, seed_ref, o_ref, *,
                                         _LANES)].astype(kp.dtype)
             vp = vp + bias_ref[0, pl.ds((2 * h2n + h2) * _LANES,
                                         _LANES)].astype(vp.dtype)
-        ktp = jnp.swapaxes(kp, 0, 1)       # (L, Sp) — one transpose per pair
+        if scale_pow2:
+            qp = qp * jnp.asarray(scale, qp.dtype)
         for j in range(hb):
             lo = j * head_dim
             units.append((bi, j, qp[:, lo:lo + head_dim],
-                          ktp[lo:lo + head_dim, :], vp[:, lo:lo + head_dim]))
+                          kp[:, lo:lo + head_dim], vp[:, lo:lo + head_dim]))
 
     staged = bb * bq * sp <= 512 * 512
 
     def scores(u):
-        _, _, q, kt, _ = u
-        s = jax.lax.dot_general(q, kt, (((1,), (0,)), ((), ())),
+        _, _, q, k, _ = u
+        # contract dim1×dim1 (k untransposed): Mosaic feeds the MXU's
+        # stationary operand from the (Sp, D) layout directly
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32,
-                                precision=prec) * scale
+                                precision=prec)
+        if not scale_pow2:
+            s = s * scale
         if need_mask:
             s = jnp.where(valid, s, neg)
         return s
@@ -809,7 +819,11 @@ def _fa_packed_bwd_kernel(q_ref, k_ref, v_ref, do_ref, bias_ref, seed_ref,
     neg = jnp.finfo(jnp.float32).min
 
     h2n_ = (n_heads * head_dim) // _LANES
-    units = []                             # (bi, j, q, k, kt, v, do)
+    # pow2 scale folds into the scores-side q (bit-exact, see fwd kernel);
+    # dq/dk keep their single `scale` factor via dscore's (scale·linv) term,
+    # and dk contracts against the UNSCALED q — gradients unchanged.
+    scale_pow2 = scale == 2.0 ** round(math.log2(scale))
+    units = []                             # (bi, j, qs, q, k, v, do)
     for bi in range(bb):
         qp, kp, vp, dop = q_ref[bi], k_ref[bi], v_ref[bi], do_ref[bi]
         if has_bias:                       # unbiased views + in-VMEM bias add
@@ -818,11 +832,11 @@ def _fa_packed_bwd_kernel(q_ref, k_ref, v_ref, do_ref, bias_ref, seed_ref,
                                         _LANES)].astype(kp.dtype)
             vp = vp + bias_ref[0, pl.ds((2 * h2n_ + h2) * _LANES,
                                         _LANES)].astype(vp.dtype)
-        ktp = jnp.swapaxes(kp, 0, 1)
+        qsp = qp * jnp.asarray(scale, qp.dtype) if scale_pow2 else qp
         for j in range(hb):
             lo = j * head_dim
-            units.append((bi, j, qp[:, lo:lo + head_dim],
-                          kp[:, lo:lo + head_dim], ktp[lo:lo + head_dim, :],
+            units.append((bi, j, qsp[:, lo:lo + head_dim],
+                          qp[:, lo:lo + head_dim], kp[:, lo:lo + head_dim],
                           vp[:, lo:lo + head_dim], dop[:, lo:lo + head_dim]))
 
     # Dropout keeps an extra (Sp,Sp) fp32 mask alive per unit: at Sp=640 the
@@ -831,10 +845,12 @@ def _fa_packed_bwd_kernel(q_ref, k_ref, v_ref, do_ref, bias_ref, seed_ref,
     staged = bb * sp <= 2 * 512 and (dropout_rate == 0.0 or sp <= 512)
 
     def scores(u):
-        _, _, q, _, kt, _, _ = u
-        s = jax.lax.dot_general(q, kt, (((1,), (0,)), ((), ())),
+        _, _, qs, _, k, _, _ = u
+        s = jax.lax.dot_general(qs, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32,
-                                precision=prec) * scale
+                                precision=prec)
+        if not scale_pow2:
+            s = s * scale
         if need_mask:
             s = jnp.where(valid, s, neg)
         return s
@@ -857,12 +873,10 @@ def _fa_packed_bwd_kernel(q_ref, k_ref, v_ref, do_ref, bias_ref, seed_ref,
         ph_eff = ph if dmask is None else ph * dmask
         pc = ph_eff.astype(v.dtype)
         dol = (do.astype(jnp.float32) * linv).astype(v.dtype)
-        dv = jax.lax.dot_general(jnp.swapaxes(pc, 0, 1), dol,
-                                 (((1,), (0,)), ((), ())),
+        dv = jax.lax.dot_general(pc, dol, (((0,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32,
                                  precision=prec)
-        dp = jax.lax.dot_general(do, jnp.swapaxes(v, 0, 1),
-                                 (((1,), (0,)), ((), ())),
+        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32,
                                  precision=prec)
         if dmask is not None:
@@ -872,15 +886,14 @@ def _fa_packed_bwd_kernel(q_ref, k_ref, v_ref, do_ref, bias_ref, seed_ref,
     def dscore(u, ph, linv, dp):
         deltah = jnp.sum(ph * dp, axis=-1, keepdims=True)
         return (ph * ((dp - deltah * linv)
-                      * (scale * linv))).astype(u[2].dtype)
+                      * (scale * linv))).astype(u[3].dtype)
 
     def dq_dk(u, ds):
-        _, _, q, k, _, _, _ = u
+        _, _, _, q, k, _, _ = u
         dq = jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32,
                                  precision=prec)
-        dk = jax.lax.dot_general(jnp.swapaxes(ds, 0, 1), q,
-                                 (((1,), (0,)), ((), ())),
+        dk = jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32,
                                  precision=prec)
         return dq, dk
