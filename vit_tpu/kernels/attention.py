@@ -73,29 +73,36 @@ def _dropout_mask(seed_ref, hid, shape, rate: float, row0=0,
     return jnp.where(keep, 1.0 / (1.0 - rate), 0.0).astype(jnp.float32)
 
 
-def _fa_kernel(q_ref, kt_ref, v_ref, seed_ref, o_ref, *, scale: float,
+def _fa_kernel(q_ref, k_ref, v_ref, seed_ref, o_ref, *, scale: float,
                causal: bool, seq_len: int, block_q: int, dropout_rate: float,
                local_heads: int = 0, global_heads: int = 0):
-    """One q-block of fused attention. Shapes: q (1,BQ,D), kᵀ (1,D,Sp), v (1,Sp,D),
-    o (1,BQ,D). K is pre-transposed so the QKᵀ contraction is a standard (M,K)×(K,N)
-    MXU matmul (Mosaic rejects a bf16 dim-1×dim-1 contraction). With dropout_rate>0
+    """One q-block of fused attention. Shapes: q (1,BQ,D), k/v (1,Sp,D),
+    o (1,BQ,D). The QKᵀ contraction is dim-1×dim-1 against the UNTRANSPOSED k
+    (Mosaic accepts it for bf16 and fp32 — probed on-chip; the historical HBM
+    pre-transpose it replaces cost a full K round-trip). A power-of-two
+    1/sqrt(d) folds into q, bit-exact (exponent arithmetic). With dropout_rate>0
     the post-softmax probabilities are dropped in-kernel (torch SDPA semantics,
     reference transformer.py:28) using the on-core PRNG."""
     iq = pl.program_id(1)
     q = q_ref[0]                      # (BQ, D)
-    kt = kt_ref[0]                    # (D, Sp)
+    k = k_ref[0]                      # (Sp, D)
     v = v_ref[0]                      # (Sp, D)
-    sp = kt.shape[1]
+    sp = k.shape[0]
     bq = q.shape[0]
 
     # fp32 inputs get true-fp32 matmuls (multi-pass); bf16 inputs use the native
     # single-pass MXU path (Mosaic rejects forced-fp32 contraction of bf16 operands).
     prec = jax.lax.Precision.HIGHEST if q.dtype == jnp.float32 else None
+    scale_pow2 = scale == 2.0 ** round(math.log2(scale))
+    if scale_pow2:
+        q = q * jnp.asarray(scale, q.dtype)
     s = jax.lax.dot_general(
-        q, kt,
-        dimension_numbers=(((1,), (0,)), ((), ())),
+        q, k,
+        dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32, precision=prec,
-    ) * scale                          # (BQ, Sp) fp32
+    )                                  # (BQ, Sp) fp32
+    if not scale_pow2:
+        s = s * scale
 
     # Masking is skipped when every key is valid (no padding, dense): at the
     # flagship S=320 the mask build+apply is pure constant-true VPU work.
@@ -155,7 +162,6 @@ def _flash_attention_fwd_impl(q, k, v, seed, causal: bool,
         return jnp.pad(x, ((0, 0), (0, sp - s), (0, 0)))
 
     qf, kf, vf = prep(q), prep(k), prep(v)
-    ktf = jnp.swapaxes(kf, 1, 2)      # (BH, D, Sp) — see _fa_kernel docstring
     n_q = sp // block_q
 
     # Interpret mode makes the kernel runnable on the CPU test mesh
@@ -173,7 +179,7 @@ def _flash_attention_fwd_impl(q, k, v, seed, causal: bool,
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda bh, iq: (bh, iq, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d, sp), lambda bh, iq: (bh, 0, 0),
+            pl.BlockSpec((1, sp, d), lambda bh, iq: (bh, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, sp, d), lambda bh, iq: (bh, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -188,11 +194,11 @@ def _flash_attention_fwd_impl(q, k, v, seed, causal: bool,
             transcendentals=b * h * sp * sp,
         ),
         interpret=interpret,
-    )(qf, ktf, vf, _seed_vec(seed, hid_off))
+    )(qf, kf, vf, _seed_vec(seed, hid_off))
     return out[:, :s, :].reshape(b, h, s, d)
 
 
-def _fa_bwd_kernel(q_ref, kt_ref, v_ref, do_ref, seed_ref, dq_ref, dk_ref,
+def _fa_bwd_kernel(q_ref, k_ref, v_ref, do_ref, seed_ref, dq_ref, dk_ref,
                    dv_ref, *, scale: float, causal: bool, seq_len: int,
                    dropout_rate: float, local_heads: int = 0,
                    global_heads: int = 0):
@@ -200,7 +206,10 @@ def _fa_bwd_kernel(q_ref, kt_ref, v_ref, do_ref, seed_ref, dq_ref, dk_ref,
     VMEM (profile-driven: the XLA rematerialized backward ran at ~28 TF/s because
     every (S,S) intermediate round-tripped HBM; here p/dp/ds never leave VMEM).
 
-    Shapes: q/v/do (1, Sp, D), kᵀ (1, D, Sp) → dq/dk/dv (1, Sp, D).
+    Shapes: q/k/v/do (1, Sp, D) → dq/dk/dv (1, Sp, D); all contractions use
+    dot_general dimension numbers directly (no materialized transposes), and a
+    pow2 1/sqrt(d) folds into the scores-side q (bit-exact; dq/dk keep their
+    single scale factor through ds, which contracts the UNSCALED q for dk).
     Math (flash-attention backward with recomputed probabilities):
       p  = softmax(mask(q·kᵀ·scale))
       dv = pᵀ·do
@@ -211,15 +220,19 @@ def _fa_bwd_kernel(q_ref, kt_ref, v_ref, do_ref, seed_ref, dq_ref, dk_ref,
     exactly (exp(finfo.min − m) underflows to 0).
     """
     q = q_ref[0]                       # (Sp, D)
-    kt = kt_ref[0]                     # (D, Sp)
+    k = k_ref[0]                       # (Sp, D)
     v = v_ref[0]                       # (Sp, D)
     do = do_ref[0]                     # (Sp, D)
     sp = q.shape[0]
 
     prec = jax.lax.Precision.HIGHEST if q.dtype == jnp.float32 else None
-    s = jax.lax.dot_general(q, kt, (((1,), (0,)), ((), ())),
+    scale_pow2 = scale == 2.0 ** round(math.log2(scale))
+    qs = q * jnp.asarray(scale, q.dtype) if scale_pow2 else q
+    s = jax.lax.dot_general(qs, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32,
-                            precision=prec) * scale
+                            precision=prec)
+    if not scale_pow2:
+        s = s * scale
     if causal or seq_len < sp:         # skip all-true masks (see _fa_kernel)
         col = jax.lax.broadcasted_iota(jnp.int32, (sp, sp), dimension=1)
         valid = col < seq_len
@@ -247,21 +260,17 @@ def _fa_bwd_kernel(q_ref, kt_ref, v_ref, do_ref, seed_ref, dq_ref, dk_ref,
         ph_eff = ph
     pc = ph_eff.astype(v.dtype)
     dol = (do.astype(jnp.float32) * linv).astype(v.dtype)
-    dv = jax.lax.dot_general(jnp.swapaxes(pc, 0, 1), dol,
-                             (((1,), (0,)), ((), ())),
+    dv = jax.lax.dot_general(pc, dol, (((0,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32, precision=prec)
-    dp = jax.lax.dot_general(do, jnp.swapaxes(v, 0, 1),
-                             (((1,), (0,)), ((), ())),
+    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32, precision=prec)
     if dropout_rate > 0.0:
         dp = dp * dmask                # dL/dp_norm = D∘(do·vᵀ)
     deltah = jnp.sum(ph * dp, axis=-1, keepdims=True)
     ds = (ph * ((dp - deltah * linv) * (scale * linv))).astype(q.dtype)
-    dq = jax.lax.dot_general(ds, jnp.swapaxes(kt, 0, 1),
-                             (((1,), (0,)), ((), ())),
+    dq = jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32, precision=prec)
-    dk = jax.lax.dot_general(jnp.swapaxes(ds, 0, 1), q,
-                             (((1,), (0,)), ((), ())),
+    dk = jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32, precision=prec)
     dq_ref[0] = dq.astype(dq_ref.dtype)
     dk_ref[0] = dk.astype(dk_ref.dtype)
@@ -272,7 +281,7 @@ def _fa_bwd_kernel(q_ref, kt_ref, v_ref, do_ref, seed_ref, dq_ref, dk_ref,
 _MAX_FUSED_BWD_SEQ = 768
 
 
-def _fa_bwd_tiled_kernel(q_ref, kt_ref, v_ref, do_ref, seed_ref, dq_ref,
+def _fa_bwd_tiled_kernel(q_ref, k_ref, v_ref, do_ref, seed_ref, dq_ref,
                          dkp_ref, dvp_ref, *, scale: float, causal: bool,
                          seq_len: int, block_q: int, dropout_rate: float,
                          local_heads: int, global_heads: int):
@@ -284,22 +293,28 @@ def _fa_bwd_tiled_kernel(q_ref, kt_ref, v_ref, do_ref, seed_ref, dq_ref,
     block serializes the whole grid (BENCHMARKS.md), while per-program partials
     + XLA reduce was already the winning pattern for the qkv-bias gradient.
 
-    Shapes: q/do/dq (1,BQ,D); kᵀ (1,D,Sp); v (1,Sp,D); dkp/dvp (1,Sp,D) at
+    Shapes: q/do/dq (1,BQ,D); k/v (1,Sp,D); dkp/dvp (1,Sp,D) at
     block row (bh·n_q + iq) of a (BH·n_q, Sp, D) partials array. m/l are
     recomputed from the block's own (BQ,Sp) score plane — no saved-lse pass
-    needed because the full key range is resident per program."""
+    needed because the full key range is resident per program. Contractions
+    use dimension numbers directly (no transposes); pow2 scale folds into the
+    scores-side q (see _fa_bwd_kernel)."""
     iq = pl.program_id(1)
     q = q_ref[0]                       # (BQ, D)
-    kt = kt_ref[0]                     # (D, Sp)
+    k = k_ref[0]                       # (Sp, D)
     v = v_ref[0]                       # (Sp, D)
     do = do_ref[0]                     # (BQ, D)
-    sp = kt.shape[1]
+    sp = k.shape[0]
     bq = q.shape[0]
 
     prec = jax.lax.Precision.HIGHEST if q.dtype == jnp.float32 else None
-    s = jax.lax.dot_general(q, kt, (((1,), (0,)), ((), ())),
+    scale_pow2 = scale == 2.0 ** round(math.log2(scale))
+    qs = q * jnp.asarray(scale, q.dtype) if scale_pow2 else q
+    s = jax.lax.dot_general(qs, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32,
-                            precision=prec) * scale
+                            precision=prec)
+    if not scale_pow2:
+        s = s * scale
     if causal or seq_len < sp:
         col = jax.lax.broadcasted_iota(jnp.int32, (bq, sp), dimension=1)
         valid = col < seq_len
@@ -322,23 +337,19 @@ def _fa_bwd_tiled_kernel(q_ref, kt_ref, v_ref, do_ref, seed_ref, dq_ref,
         ph_eff = ph
     pc = ph_eff.astype(v.dtype)
     dol = (do.astype(jnp.float32) * linv).astype(v.dtype)
-    dvp = jax.lax.dot_general(jnp.swapaxes(pc, 0, 1), dol,
-                              (((1,), (0,)), ((), ())),
+    dvp = jax.lax.dot_general(pc, dol, (((0,), (0,)), ((), ())),
                               preferred_element_type=jnp.float32,
                               precision=prec)
-    dp = jax.lax.dot_general(do, jnp.swapaxes(v, 0, 1),
-                             (((1,), (0,)), ((), ())),
+    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32,
                              precision=prec)
     if dropout_rate > 0.0:
         dp = dp * dmask
     deltah = jnp.sum(ph * dp, axis=-1, keepdims=True)
     ds = (ph * ((dp - deltah * linv) * (scale * linv))).astype(q.dtype)
-    dq = jax.lax.dot_general(ds, jnp.swapaxes(kt, 0, 1),
-                             (((1,), (0,)), ((), ())),
+    dq = jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32, precision=prec)
-    dkp = jax.lax.dot_general(jnp.swapaxes(ds, 0, 1), q,
-                              (((1,), (0,)), ((), ())),
+    dkp = jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
                               preferred_element_type=jnp.float32,
                               precision=prec)
     dq_ref[0] = dq.astype(dq_ref.dtype)
@@ -372,15 +383,12 @@ def _flash_attention_bwd_tiled_impl(q, k, v, g, seed, causal: bool,
         return jnp.pad(x, ((0, 0), (0, sp - s), (0, 0)))
 
     qf, kf, vf, gf = prep(q), prep(k), prep(v), prep(g)
-    ktf = jnp.swapaxes(kf, 1, 2)
     interpret = jax.default_backend() != "tpu"
 
     blk_spec = pl.BlockSpec((1, block_q, d), lambda bh, iq: (bh, iq, 0),
                             memory_space=pltpu.VMEM)
     seq_spec = pl.BlockSpec((1, sp, d), lambda bh, iq: (bh, 0, 0),
                             memory_space=pltpu.VMEM)
-    kt_spec = pl.BlockSpec((1, d, sp), lambda bh, iq: (bh, 0, 0),
-                           memory_space=pltpu.VMEM)
     part_spec = pl.BlockSpec((1, sp, d),
                              lambda bh, iq, n_q=n_q: (bh * n_q + iq, 0, 0),
                              memory_space=pltpu.VMEM)
@@ -391,7 +399,7 @@ def _flash_attention_bwd_tiled_impl(q, k, v, g, seed, causal: bool,
                           global_heads=(global_heads
                                         if global_heads is not None else h)),
         grid=(b * h, n_q),
-        in_specs=[blk_spec, kt_spec, seq_spec, blk_spec,
+        in_specs=[blk_spec, seq_spec, seq_spec, blk_spec,
                   pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_specs=(blk_spec, part_spec, part_spec),
         out_shape=(jax.ShapeDtypeStruct((b * h, sp, d), q.dtype),
@@ -403,7 +411,7 @@ def _flash_attention_bwd_tiled_impl(q, k, v, g, seed, causal: bool,
             transcendentals=b * h * sp * sp,
         ),
         interpret=interpret,
-    )(qf, ktf, vf, gf, _seed_vec(seed, hid_off))
+    )(qf, kf, vf, gf, _seed_vec(seed, hid_off))
 
     # XLA reduces the per-q-block dk/dv partials (never serializes the grid)
     dk = dkp.reshape(b * h, n_q, sp, d).sum(axis=1).astype(q.dtype)
@@ -427,19 +435,16 @@ def _flash_attention_bwd_impl(q, k, v, g, seed, causal: bool,
         return jnp.pad(x, ((0, 0), (0, sp - s), (0, 0)))
 
     qf, kf, vf, gf = prep(q), prep(k), prep(v), prep(g)
-    ktf = jnp.swapaxes(kf, 1, 2)
     interpret = jax.default_backend() != "tpu"
 
     spec = pl.BlockSpec((1, sp, d), lambda bh: (bh, 0, 0), memory_space=pltpu.VMEM)
-    kt_spec = pl.BlockSpec((1, d, sp), lambda bh: (bh, 0, 0),
-                           memory_space=pltpu.VMEM)
     dq, dk, dv = pl.pallas_call(
         functools.partial(_fa_bwd_kernel, scale=scale, causal=causal, seq_len=s,
                           dropout_rate=dropout_rate, local_heads=h,
                           global_heads=(global_heads
                                         if global_heads is not None else h)),
         grid=(b * h,),
-        in_specs=[spec, kt_spec, spec, spec,
+        in_specs=[spec, spec, spec, spec,
                   pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_specs=(spec, spec, spec),
         out_shape=tuple(jax.ShapeDtypeStruct((b * h, sp, d), q.dtype)
@@ -450,7 +455,7 @@ def _flash_attention_bwd_impl(q, k, v, g, seed, causal: bool,
             transcendentals=b * h * sp * sp,
         ),
         interpret=interpret,
-    )(qf, ktf, vf, gf, _seed_vec(seed, hid_off))
+    )(qf, kf, vf, gf, _seed_vec(seed, hid_off))
 
     def unprep(x):
         return x[:, :s, :].reshape(b, h, s, d)
