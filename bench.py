@@ -44,6 +44,12 @@ def main():
                              "remat: the scan backward's saved per-iteration "
                              "intermediates exceed HBM at this batch size "
                              "(measured 21.5G > 15.75G without it)")
+    parser.add_argument("--remat", action="store_true",
+                        help="per-block jax.checkpoint WITHOUT scan (pair with "
+                             "VIT_TPU_REMAT_POLICY=dots to A/B saving only dot "
+                             "outputs in the unrolled graph: drops the 126 MB "
+                             "gelu(h) AD residual per MLP, bwd recomputes "
+                             "elementwise only)")
     parser.add_argument("--profile_dir", type=str, default=None,
                         help="capture a jax.profiler trace of 3 timed steps here")
     args = parser.parse_args()
@@ -56,7 +62,8 @@ def main():
 
     config = TiTokConfig(image_size=128, patch_size=16, latent_tokens=256,
                          codebook_size=2048, latent_dim=12, transformer="B",
-                         scan_layers=args.scan_layers, remat=args.scan_layers)
+                         scan_layers=args.scan_layers,
+                         remat=args.scan_layers or args.remat)
     model = TiTok(config)
     rng = jax.random.PRNGKey(0)
     images = jax.random.uniform(rng, (args.bs, 128, 128, 3), jnp.float32)

@@ -292,6 +292,14 @@ class Mlp(nn.Module):
         else:
             h = dense(4 * cfg.n_embd, cfg.n_embd, dtype=cfg.dtype,
                       param_dtype=cfg.param_dtype, name="fc1")(x)
+            # NOTE (measured, round 4): the fc1 fusion emits BOTH the pre- and
+            # post-gelu (B,S,4E) planes as AD residuals (~2×126 MB/block at
+            # flagship scale). Two attacks on the second write both LOST
+            # in-step: remat_policy="dots" re-runs attention/LN in the bwd
+            # (217.0 img/s), and a surgical jax.checkpoint region over
+            # gelu+fc2 (recompute one elementwise op) measured 227.8 vs 262.3
+            # img/s — the region boundary breaks XLA's fc2 epilogue fusion and
+            # scheduling for more than the saved write. Keep plain AD.
             h = nn.gelu(h, approximate=False)  # torch GELU default: exact erf
         if fused_fc:
             from vit_tpu.kernels.fc_grad import fused_dense
