@@ -79,8 +79,10 @@ def main():
     def bwd_chain(x, g):
         def body(_, x):
             dqkv, db = bwd_call(x, g, bias, seed)
-            return x.at[0, 0, 0].set(dqkv[0, 0, 0] * 1e-24
-                                     + db[0] * 1e-24 + x[0, 0, 0])
+            bump = (dqkv[0, 0, 0].astype(jnp.float32) * 1e-24
+                    + db[0].astype(jnp.float32) * 1e-24
+                    + x[0, 0, 0].astype(jnp.float32))
+            return x.at[0, 0, 0].set(bump.astype(x.dtype))
         return jax.lax.fori_loop(0, CHAIN, body, x)
 
     g = jax.random.normal(jax.random.PRNGKey(1), (b, s, n_embd), jnp.bfloat16)
