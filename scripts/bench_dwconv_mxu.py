@@ -47,16 +47,6 @@ STAGES = [
 ]
 
 
-def _time(fn, *args, iters=20):
-    out = fn(*args)
-    jax.device_get(jnp.sum(out))  # completion barrier (BENCHMARKS.md)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.device_get(jnp.sum(out))
-    return (time.perf_counter() - t0) / iters
-
-
 def _time_chained(fn, x, k, iters=20):
     """fori-loop-chained timing: output feeds the next input, stripping the
     ~1.2 ms per-dispatch floor that swamps sub-ms ops in the loop above

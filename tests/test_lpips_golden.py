@@ -69,8 +69,9 @@ class _TorchLPIPS(nn.Module):
         total = 0.0
         for fx, fy, lin in zip(self._taps(x), self._taps(y), self.lins):
             def unit(f):
-                return f / torch.sqrt(
-                    torch.sum(f ** 2, dim=1, keepdim=True) + 1e-10)
+                # official lpips normalize_tensor: eps on the NORM
+                norm = torch.sqrt(torch.sum(f ** 2, dim=1, keepdim=True))
+                return f / (norm + 1e-10)
 
             d = lin((unit(fx) - unit(fy)) ** 2)
             total = total + d.mean(dim=(2, 3)).squeeze(1)

@@ -188,7 +188,8 @@ def main():
 
     clustering = args.clustering_vq
 
-    def _train_step(state, vq_stats, images, usage):
+    def _make_train_step(watch):
+      def _train_step(state, vq_stats, images, usage):
         def loss_fn(params):
             (recon, result), new_vars = model.apply(
                 {"params": params, "vq_stats": vq_stats}, images, None, True,
@@ -210,10 +211,11 @@ def main():
 
         (_, (result, vq_stats_new, recon, metrics)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
-        if args.watch:
+        if watch:
             # the reference's wandb.watch(model) lives in THIS script
             # (train_tatitok.py:155): per-layer grad+param histograms,
-            # computed on device (utils/metrics.py:tree_histograms)
+            # computed on device (utils/metrics.py:tree_histograms) — in the
+            # log-step-only variant, so off-log steps pay nothing
             from vit_tpu.utils.metrics import tree_histograms
 
             metrics["_hists"] = {**tree_histograms(grads, "grad_hist"),
@@ -231,6 +233,11 @@ def main():
         metrics["train/codebook_usage"] = usage.mean()
         return state, vq_stats_new, usage, metrics, recon
 
+      return _train_step
+
+    _train_step = _make_train_step(False)
+    _train_step_watch = _make_train_step(True) if args.watch else None
+
     from vit_tpu.train.distributed import maybe_mesh_runner
 
     runner = maybe_mesh_runner(args)  # --mesh dp,fsdp,tp; None = single device
@@ -239,11 +246,18 @@ def main():
         vq_stats = runner.put_rep(vq_stats)
         # vq_stats (clustering-EMA accumulators) stay replicated: the kernel
         # computes GLOBAL-batch stats, GSPMD inserts the cross-shard psum
-        train_step = runner.jit_step(
-            _train_step, in_specs=(st_sh, "rep", "batch", "rep"),
-            out_specs=(st_sh, "rep", "rep", "rep", "batch"))
+
+        def _jit(fn):
+            return runner.jit_step(
+                fn, in_specs=(st_sh, "rep", "batch", "rep"),
+                out_specs=(st_sh, "rep", "rep", "rep", "batch"))
+
+        train_step = _jit(_train_step)
+        train_step_watch = _jit(_train_step_watch) if args.watch else None
     else:
         train_step = jax.jit(_train_step)
+        train_step_watch = (jax.jit(_train_step_watch)
+                            if args.watch else None)
 
     print(f"STATS: enc_params={params_str(state.params)}")
 
@@ -261,7 +275,9 @@ def main():
         if args.max_epoch_steps:  # same cap semantics as train/loop.py
             import itertools
 
-            stream = itertools.islice(stream, args.max_epoch_steps)
+            # cap bounds the EPOCH: a resumed epoch already consumed `skip`
+            stream = itertools.islice(stream,
+                                      max(0, args.max_epoch_steps - skip))
         for i, (images, _) in enumerate(stream, start=skip):
             load_time = time.time() - st
             images = (runner.put_batch(images) if runner is not None
@@ -273,7 +289,9 @@ def main():
                 # step, not up to log_every queued ones (see train/loop.py)
                 float(jax.device_get(prev_loss))
                 st = time.time()
-            state, vq_stats, usage, metrics, recon = train_step(
+            fn = (train_step_watch
+                  if (train_step_watch is not None and is_log) else train_step)
+            state, vq_stats, usage, metrics, recon = fn(
                 state, vq_stats, images, usage)
             prev_loss = metrics["train/loss"]
             if is_log:

@@ -173,16 +173,21 @@ class StreamingWebDataset:
             # assembly (MeshRunner.put_batch) — same invariant as the map-style
             # DataLoader's index truncation (data/loader.py:_indices). Shards
             # written by this repo's ShardWriter hold a fixed maxcount of
-            # samples, so equal shard COUNTS give equal batch counts too; for
-            # foreign uneven shards cap steps via the entry point's
-            # --steps_per_epoch.
-            per = len(all_shards) // num_shards
+            # samples EXCEPT the final one (total % maxcount, usually
+            # partial), so the sorted-last shard is dropped before the split:
+            # every selected shard is then full-size and equal shard COUNTS
+            # give equal batch counts. For foreign shards with arbitrary
+            # uneven sizes this is best-effort — cap steps via the entry
+            # point's --max_epoch_steps / --steps_per_epoch.
+            usable = all_shards[:-1] if len(all_shards) > 1 else all_shards
+            per = len(usable) // num_shards
             if per == 0:
                 raise ValueError(
-                    f"{len(all_shards)} shard(s) < {num_shards} hosts — each "
-                    f"host needs >= 1 shard for a collective-safe epoch split; "
-                    f"re-shard with a smaller maxcount")
-            self.shard_paths = all_shards[shard_id::num_shards][:per]
+                    f"{len(all_shards)} shard(s) < {num_shards} hosts (after "
+                    f"dropping the possibly-partial final shard) — each host "
+                    f"needs >= 1 full shard for a collective-safe epoch "
+                    f"split; re-shard with a smaller maxcount")
+            self.shard_paths = usable[shard_id::num_shards][:per]
         else:
             self.shard_paths = all_shards
         if not self.shard_paths:

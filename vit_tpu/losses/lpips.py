@@ -90,10 +90,12 @@ class LPIPS(nn.Module):
 
         total = 0.0
         for i, (fx, fy) in enumerate(zip(feats_x, feats_y)):
-            # channel-unit normalization (normalize_tensor in the official repo)
+            # channel-unit normalization — normalize_tensor in the official
+            # repo adds eps to the NORM, not the square-sum:
+            # f / (sqrt(sum f^2) + eps)
             def unit(f):
-                return f * jax.lax.rsqrt(
-                    jnp.sum(jnp.square(f), axis=-1, keepdims=True) + 1e-10)
+                norm = jnp.sqrt(jnp.sum(jnp.square(f), axis=-1, keepdims=True))
+                return f / (norm + 1e-10)
 
             diff2 = jnp.square(unit(fx) - unit(fy))
             # 1×1 nonneg "linear" head, no bias — stored as (C,) weights

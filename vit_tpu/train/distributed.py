@@ -137,19 +137,33 @@ def _data_group(devices_arr: np.ndarray, axis_names: Sequence[str],
     didx = list(axis_names).index("data")
     dp = devices_arr.shape[didx]
     procs = np.vectorize(lambda d: d.process_index)(devices_arr)
-    mine = np.argwhere(procs == pid)
-    if mine.size == 0:
+    if (procs == pid).sum() == 0:
         # this process holds no mesh devices — mirror MeshRunner's
         # full-axis fallback (it would feed the whole batch)
         return 0, 1
-    coords = np.unique(mine[:, didx])
-    ddp = int(coords.size)
-    lo = int(coords.min())
-    if dp % ddp or lo % ddp or (coords != np.arange(lo, lo + ddp)).any():
-        # non-contiguous/unaligned coverage (exotic device order): per-process
-        # split is at least disjoint; put_batch will trim/replicate as needed
+
+    def aligned(p):
+        """(group, ngroups) for process p, or None if its data-axis coverage
+        is non-contiguous/unaligned (exotic device order)."""
+        coords = np.unique(np.argwhere(procs == p)[:, didx])
+        ddp = int(coords.size)
+        lo = int(coords.min())
+        if dp % ddp or lo % ddp or (coords != np.arange(lo, lo + ddp)).any():
+            return None
+        return lo // ddp, dp // ddp
+
+    # The group scheme must be chosen CONSISTENTLY across processes — deciding
+    # the fallback per-process would mix a data-group partition with a
+    # (pid, pcount) partition on the same stream (overlapping slices, unread
+    # data). Every process sees the full device array, so each evaluates ALL
+    # processes and they agree: the aligned scheme applies only if every
+    # device-owning process is aligned AND agrees on the group count.
+    groups = {int(p): aligned(int(p)) for p in np.unique(procs)}
+    if (any(g is None for g in groups.values())
+            or len({g[1] for g in groups.values()}) != 1):
+        # per-process split is at least disjoint; put_batch trims/replicates
         return pid, pcount
-    return lo // ddp, dp // ddp
+    return groups[pid]
 
 
 def host_shard(args=None) -> Tuple[int, int]:

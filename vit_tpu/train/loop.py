@@ -76,25 +76,38 @@ def run_tokenizer_training(args, model, model_config, train_loader, *,
             print(f"RESUMED data stream at epoch {start_epoch}, "
                   f"batch {skip0}")
 
-    step_fn = make_tokenizer_train_step(
-        model, perceptual_loss_fn=perceptual,
+    mk_kwargs = dict(
+        perceptual_loss_fn=perceptual,
         perceptual_weight=(perceptual_weight if perceptual_weight is not None
                            else getattr(args, "perceptual_weight", 1.0)),
-        pixel_loss=pixel_loss,
-        watch=bool(getattr(args, "watch", False)))
+        pixel_loss=pixel_loss)
+    step_fn = make_tokenizer_train_step(model, **mk_kwargs)
+    # --watch histograms are only CONSUMED at log points, so they ride a
+    # second step variant invoked on log steps only — off-log steps pay zero
+    # histogram work (the reference's wandb.watch also computes at log_freq).
+    watch = bool(getattr(args, "watch", False))
+    step_fn_watch = (make_tokenizer_train_step(model, watch=True, **mk_kwargs)
+                     if watch else None)
     if runner is not None:
         # dp/fsdp/tp: state sharded per parallel/sharding.py rules, batch over
         # the "data" axis; XLA inserts the grad-psum / param-all-gather
         # collectives (the reference has no multi-device path at all, SURVEY §2c)
         state, st_sh = runner.shard_state(state)
         rng = runner.put_rep(rng)
-        train_step = runner.jit_step(
-            step_fn,
-            in_specs=(st_sh, "batch", "rep", "rep"),
-            out_specs=(st_sh, "rep", "rep", "batch"),
-            donate_argnums=(0, 2))
+
+        def _jit(fn):
+            return runner.jit_step(
+                fn,
+                in_specs=(st_sh, "batch", "rep", "rep"),
+                out_specs=(st_sh, "rep", "rep", "batch"),
+                donate_argnums=(0, 2))
+
+        train_step = _jit(step_fn)
+        train_step_watch = _jit(step_fn_watch) if watch else None
     else:
         train_step = jax.jit(step_fn, donate_argnums=(0, 2))
+        train_step_watch = (jax.jit(step_fn_watch, donate_argnums=(0, 2))
+                            if watch else None)
 
     print(f"STATS: enc_params={params_str(state.params)}")
 
@@ -144,7 +157,10 @@ def run_tokenizer_training(args, model, model_config, train_loader, *,
         if cap:
             import itertools
 
-            stream = itertools.islice(stream, cap)
+            # resume_stream already consumed `skip` batches of this epoch:
+            # the cap bounds the EPOCH, not the remainder, so a resumed epoch
+            # gets cap - skip more batches (not skip + cap total).
+            stream = itertools.islice(stream, max(0, cap - skip))
         for i, (images, _) in enumerate(
                 device_prefetch(stream,
                                 lambda b: (put(b[0]), b[1])), start=skip):
@@ -160,7 +176,9 @@ def run_tokenizer_training(args, model, model_config, train_loader, *,
                 # one (observed 2.4 s "step_time" for a 0.25 s step).
                 float(jax.device_get(prev_loss))
                 st = time.time()
-            state, usage, metrics, recon = train_step(state, images, usage, rng)
+            fn = (train_step_watch
+                  if (train_step_watch is not None and is_log) else train_step)
+            state, usage, metrics, recon = fn(state, images, usage, rng)
             prev_loss = metrics["train/loss"]
             if profile_dir and global_i == 15:
                 jax.block_until_ready(recon)
