@@ -180,8 +180,15 @@ def main():
 
     out = {"psnr": round(float(np.concatenate(psnrs).mean()), 3),
            "codebook_usage": round(float(usage.mean()), 4), "n": n}
+    # 'ssim' is always present so downstream dict consumers never KeyError:
+    # null when every eval image is smaller than SSIM's 11x11 window
+    # (advisor r4: keep the output schema stable)
     if ssims:
         out["ssim"] = round(float(np.concatenate(ssims).mean()), 4)
+    else:
+        print("eval_recon: images smaller than the 11x11 SSIM window — "
+              "emitting ssim: null", file=sys.stderr)
+        out["ssim"] = None
     if percs:
         out["perceptual"] = round(float(np.mean(percs)), 5)
     if lpipss:

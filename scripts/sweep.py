@@ -13,6 +13,7 @@ Usage: python scripts/sweep.py sweeps/vit_sweep.yaml [--dry_run] [extra args pas
 from __future__ import annotations
 
 import argparse
+import os
 import itertools
 import json
 import subprocess
@@ -70,7 +71,12 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("sweep_yaml", type=str)
     parser.add_argument("--dry_run", action="store_true")
-    parser.add_argument("--runs_dir", type=str, default="runs")
+    parser.add_argument(
+        "--runs_dir", type=str,
+        default=os.environ.get("VIT_TPU_RUN_DIR") or "runs",
+        help="where the child train scripts write their JSONL metrics "
+             "(follows $VIT_TPU_RUN_DIR so sweep metric collection and "
+             "the trainers' --run_dir default stay in sync)")
     args, extra = parser.parse_known_args()
     args.extra_args = extra           # anything unrecognized passes through
 

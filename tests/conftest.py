@@ -8,6 +8,15 @@ JAX_PLATFORMS in os.environ is read too late — jax.config.update is required.
 """
 
 import os
+import tempfile
+
+# Route ALL run logs (MetricsLogger JSONL/TB/images) written during the test
+# session — in-process and by subprocess tests that inherit os.environ — to a
+# throwaway dir, so repo-tracked runs/ holds only real evidence and a full
+# suite run leaves `git status` clean (VERDICT r4 weak #6). Tests that build
+# minimal env dicts for subprocesses must propagate this key themselves.
+os.environ.setdefault(
+    "VIT_TPU_RUN_DIR", tempfile.mkdtemp(prefix="vit_tpu_test_runs_"))
 
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:

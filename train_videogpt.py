@@ -78,6 +78,8 @@ def parse_args():
     parser.add_argument('--gen_every', type=int, default=1000)
     parser.add_argument('--seed', type=int, default=0)
     parser.add_argument('--no_wandb', action='store_true')
+    parser.add_argument('--run_dir', type=str, default=None,
+                        help='metrics/TB/image output root (default: $VIT_TPU_RUN_DIR or runs/)')
     from vit_tpu.train.distributed import add_mesh_args
     add_mesh_args(parser)  # --mesh dp,fsdp,tp (shared across entry points)
     args = parser.parse_args()
@@ -172,6 +174,7 @@ def main():
     run_name = (f"{args.frame_size}_{args.transformer}_{args.codebook_size}_"
                 f"{args.max_frames}frames")
     logger = MetricsLogger(project_name, run_name, config=vars(args),
+                           out_dir=args.run_dir,
                            use_wandb=not args.no_wandb)
 
     from vit_tpu.train.distributed import host_shard

@@ -80,6 +80,8 @@ def parse_args():
     parser.add_argument('--log_every', type=int, default=100)
     parser.add_argument('--seed', type=int, default=0)
     parser.add_argument('--no_wandb', action='store_true')
+    parser.add_argument('--run_dir', type=str, default=None,
+                        help='metrics/TB/image output root (default: $VIT_TPU_RUN_DIR or runs/)')
     from vit_tpu.train.distributed import add_mesh_args
     add_mesh_args(parser)  # --mesh dp,fsdp,tp (shared across entry points)
     parser.add_argument('--loader_backend', type=str, default='threads',
@@ -159,6 +161,7 @@ def main():
     run_name = (f"{args.patch_size}px_{args.image_size}px_{args.transformer}_"
                 f"{args.bs}bs_{args.lr}lr_{args.dropout}drp")
     logger = MetricsLogger("vit-classifier", run_name, config=vars(args),
+                           out_dir=args.run_dir,
                            use_wandb=not args.no_wandb)
 
     train_loader, valid_loader = get_loaders(args)

@@ -70,6 +70,8 @@ def parse_args():
     parser.add_argument('--image_every', type=int, default=5000)
     parser.add_argument('--seed', type=int, default=0)
     parser.add_argument('--no_wandb', action='store_true')
+    parser.add_argument('--run_dir', type=str, default=None,
+                        help='metrics/TB/image output root (default: $VIT_TPU_RUN_DIR or runs/)')
     parser.add_argument('--watch', action='store_true',
                         help='log per-layer gradient+parameter histograms at '
                              'every log point (wandb.watch parity, reference '

@@ -179,6 +179,14 @@ def _frozen_int8_fwd(x, w, b):
 
 
 def _frozen_int8_bwd(res, dy):
+    # NOTE: Wᵀ is re-quantized here with fresh per-channel scales (channel axis
+    # differs after the transpose), so dx is an independent ~1%-error int8
+    # approximation of dy·Wᵀ — NOT the exact VJP of the quantized forward.
+    # Acceptable for this frozen, default-off path (the perceptual net
+    # contributes a loss term, not trained weights; tolerance-tested in
+    # tests/test_quant.py); an exact VJP would need the forward's wq/ws reused
+    # with a transposed contraction. Same approximation in the fused
+    # kernels/convnext_block.py _bwd_kernel_q8.
     w, b, x_proto = res
     x_dtype = x_proto.dtype
     wtq, wts = quantize_kernel(jnp.swapaxes(w, 0, 1))

@@ -188,6 +188,16 @@ class StreamingWebDataset:
                     f"needs >= 1 full shard for a collective-safe epoch "
                     f"split; re-shard with a smaller maxcount")
             self.shard_paths = usable[shard_id::num_shards][:per]
+            # the equalized split silently shrinks the epoch: the final shard
+            # plus up to num_shards-1 remainder shards are never read by ANY
+            # host — make that visible in run logs instead of docstring-only
+            # (advisor r4: silent per-epoch data loss)
+            dropped = len(all_shards) - per * num_shards
+            if dropped and shard_id == 0:
+                print(f"[wds] equalized {num_shards}-host split reads "
+                      f"{per * num_shards} of {len(all_shards)} shards "
+                      f"({dropped} dropped: the possibly-partial final shard "
+                      f"+ {max(0, dropped - 1)} remainder shard(s))")
         else:
             self.shard_paths = all_shards
         if not self.shard_paths:

@@ -47,6 +47,7 @@ def run_tokenizer_training(args, model, model_config, train_loader, *,
     dtype = jnp.bfloat16 if args.mixed else jnp.float32
     runner = maybe_mesh_runner(args)  # --mesh dp,fsdp,tp; None = single device
     logger = MetricsLogger(project_name, run_name, config=vars(args),
+                           out_dir=getattr(args, "run_dir", None),
                            use_wandb=not args.no_wandb)
 
     rng = jax.random.PRNGKey(args.seed)
