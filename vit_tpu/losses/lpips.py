@@ -33,9 +33,24 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-# official LPIPS ScalingLayer constants (inputs in [-1, 1])
+# official LPIPS ScalingLayer constants (inputs in [-1, 1]) — pinned verbatim
+# from richzhang/PerceptualSimilarity lpips/lpips.py ScalingLayer.__init__
+# ('shift' [-.030, -.088, -.188], 'scale' [.458, .448, .450]); standalone
+# assert in tests/test_official_constants.py (not twin-derived)
 LPIPS_SHIFT = (-0.030, -0.088, -0.188)
 LPIPS_SCALE = (0.458, 0.448, 0.450)
+LPIPS_NORM_EPS = 1e-10
+
+
+def unit_normalize(f, eps: float = LPIPS_NORM_EPS):
+    """Channel-unit normalization, official LPIPS ``normalize_tensor`` form:
+    ``f / (sqrt(sum_c f²) + eps)`` — eps is added to the NORM, not the square
+    sum (richzhang/PerceptualSimilarity lpips/__init__.py normalize_tensor).
+    The two placements differ measurably for small-norm features; round 4
+    shipped the wrong one with a matching twin, so the form is pinned by a
+    standalone test (tests/test_official_constants.py), not only the golden."""
+    norm = jnp.sqrt(jnp.sum(jnp.square(f), axis=-1, keepdims=True))
+    return f / (norm + eps)
 
 # torchvision AlexNet features: (out_ch, ksize, stride, padding), ReLU after
 # each conv; MaxPool(3, 2) after relu1, relu2 and relu5 (the last pool is
@@ -90,14 +105,7 @@ class LPIPS(nn.Module):
 
         total = 0.0
         for i, (fx, fy) in enumerate(zip(feats_x, feats_y)):
-            # channel-unit normalization — normalize_tensor in the official
-            # repo adds eps to the NORM, not the square-sum:
-            # f / (sqrt(sum f^2) + eps)
-            def unit(f):
-                norm = jnp.sqrt(jnp.sum(jnp.square(f), axis=-1, keepdims=True))
-                return f / (norm + 1e-10)
-
-            diff2 = jnp.square(unit(fx) - unit(fy))
+            diff2 = jnp.square(unit_normalize(fx) - unit_normalize(fy))
             # 1×1 nonneg "linear" head, no bias — stored as (C,) weights
             w = self.param(f"lin{i}", nn.initializers.ones,
                            (diff2.shape[-1],), jnp.float32)
