@@ -55,6 +55,7 @@ def run_arm(mesh: str, port: int, extra_args=()) -> int:
             f"--xla_force_host_platform_device_count={DEVICES_PER_PROC}")
         env["XLA_FLAGS"] = " ".join(flags)
         env["JAX_PLATFORMS"] = "cpu"
+        env["VIT_TPU_RUN_DIR"] = os.path.join(tmp, "runs")
         env["JAX_COORDINATOR"] = f"127.0.0.1:{port}"
         env["JAX_NUM_PROCESSES"] = str(N_PROC)
         env["JAX_PROCESS_ID"] = str(pid)

@@ -106,7 +106,8 @@ def test_checkpointer_data_state_history(tmp_path):
 
 
 def _run_titok(cwd, ckpt_dir, epochs, extra=()):
-    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONUNBUFFERED="1")
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONUNBUFFERED="1",
+               VIT_TPU_RUN_DIR=str(Path(cwd) / "runs"))
     env.pop("XLA_FLAGS", None)  # single device: tiny batch, no dp mesh
     cmd = [sys.executable, str(ROOT / "train_titok.py"),
            "--dataset", "synthetic", "--transformer", "S", "--n_layers", "2",

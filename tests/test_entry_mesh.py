@@ -32,6 +32,7 @@ def _run(tmp_path: Path, mesh: str, tag: str) -> list[dict]:
     env["JAX_PLATFORMS"] = "cpu"  # honored by vit_tpu.__init__ pre-backend-init
     cwd = tmp_path / tag
     cwd.mkdir()
+    env["VIT_TPU_RUN_DIR"] = str(cwd / "runs")
     cmd = [sys.executable, str(REPO / "train_titok.py"),
            "--dataset", "synthetic", "--mesh", mesh, "--bs", "8",
            "--image_size", "32", "--patch_size", "8", "--latent_tokens", "16",

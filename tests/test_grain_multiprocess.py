@@ -48,6 +48,7 @@ def test_train_titok_grain_multiprocess(tmp_path):
         if "xla_force_host_platform_device_count" not in f)
     cwd = tmp_path / "run"
     cwd.mkdir()
+    env["VIT_TPU_RUN_DIR"] = str(cwd / "runs")
     cmd = [sys.executable, str(REPO / "train_titok.py"),
            "--dataset", "imagenet", "--data_dir", str(data),
            "--loader_backend", "grain", "--loader_processes", "2",

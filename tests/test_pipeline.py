@@ -283,6 +283,7 @@ def test_entry_point_pp_mesh_matches_single_device(tmp_path):
         env["JAX_PLATFORMS"] = "cpu"
         cwd = tmp_path / tag
         cwd.mkdir()
+        env["VIT_TPU_RUN_DIR"] = str(cwd / "runs")
         cmd = [sys.executable, str(REPO / "train_titok.py"),
                "--dataset", "synthetic", "--mesh", mesh, "--bs", "8",
                "--image_size", "32", "--patch_size", "8",
