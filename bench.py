@@ -117,9 +117,10 @@ def main():
     img_per_s = args.bs * args.steps / dt
 
     # MFU: XLA's own FLOP count for the compiled step / measured time / peak.
-    # Peak = 197 TF/s (v5e bf16 spec); this tunneled chip measures ~130 TF/s on
-    # a raw 8192^3 matmul, so hardware-relative utilization is ~1.5x the
-    # reported MFU (BENCHMARKS.md "measured hardware envelope").
+    # Peak = 197 TF/s (v5e bf16 spec). Round-5 correction: this chip is
+    # near-spec (in-step GEMM fusions sustain ~189 TF/s per xprof) — the old
+    # "130 TF/s derated tunnel chip" reading was a dispatch-overhead
+    # measurement artifact (BENCHMARKS.md round-5).
     mfu = (step_flops * args.steps / dt / 197e12) if step_flops else None
 
     out = {
@@ -131,47 +132,72 @@ def main():
     if mfu is not None:
         out["mfu_vs_v5e_peak"] = round(mfu, 4)
     if step_flops:
-        # Perf-contract accounting (VERDICT r3 next #9): the raw FLOP bill and
-        # what THIS step projects to on full-spec v5e silicon. This dev chip's
-        # own matmul ceiling measures 130/197 = 66% of spec (BENCHMARKS.md), so
-        # at unchanged software efficiency a spec chip runs the same step
-        # 197/130 = 1.515x faster.
+        # Perf-contract accounting. ROUND-5 ENVELOPE CORRECTION
+        # (BENCHMARKS.md "round-5 measurement methodology correction"): the
+        # old "130 TF/s measured envelope" was a dispatch-overhead artifact of
+        # per-call benching through the tunnel. Ground truth is the xprof
+        # capture of the step itself: XLA GEMM fusions in THIS graph sustain
+        # up to ~189 TF/s (96% of the 197 TF/s v5e spec), so this chip is
+        # near-spec silicon and the old 1.515x "spec uplift" projection was
+        # fiction. The envelope below is SELF-CALIBRATED from the committed
+        # per-fusion attribution table (scripts/fusion_table.py artifact) —
+        # the 98th-percentile rate the step's own best fusions demonstrate.
+        import os
+
+        table_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                  "benchdata", "fusion_table.json")
+        table = None
+        if os.path.exists(table_path):
+            with open(table_path) as f:
+                table = json.load(f)
+        envelope_tf = (table or {}).get("gemm_envelope_tf_per_s", 188.6)
+        envelope = envelope_tf * 1e12
         out["flops_per_step"] = round(step_flops, 0)
-        out["projected_spec_v5e_img_per_s"] = round(img_per_s * 197.0 / 130.0, 1)
-        # Attribution of the distance to the 3x contract (VERDICT r2 weak #1):
-        # this dev chip's measured bf16 matmul envelope is ~130 TF/s (66% of the
-        # 197 TF/s v5e spec — BENCHMARKS.md "measured hardware envelope"), so
-        # 100%-of-envelope on THIS chip caps throughput at speed_of_light below;
-        # open software pools (measured, BENCHMARKS.md) are listed in ms/step.
-        envelope = 130e12
-        sol = args.bs / (step_flops / envelope)
-        out["hw_envelope_tflops_measured"] = 130.0
+        out["hw_envelope_tflops_measured"] = envelope_tf
         out["mfu_vs_measured_envelope"] = round(
             step_flops * args.steps / dt / envelope, 4)
-        # img/s this chip must reach so a full-spec v5e projects to 3x; the ms
-        # delta is the software cut still required (hardware alone cannot
-        # close it: at round-3 software 0.78-of-envelope the spec projection
-        # was ~397 img/s vs the 480 target).
-        need = 3 * REFERENCE_IMG_PER_S_ESTIMATE * 130.0 / 197.0
-        out["gap_to_3x"] = {
+        out["projected_spec_v5e_img_per_s"] = round(
+            img_per_s * 197.0 / envelope_tf, 1)
+        # All-FLOPs-at-envelope bound (not reachable: attention is lane-
+        # limited to envelope/2 at K=64 and the dwconv/stream work has its own
+        # floors — see per_class_floor below for the honest bound).
+        sol = args.bs / (step_flops / envelope)
+        need = 3 * REFERENCE_IMG_PER_S_ESTIMATE * envelope_tf / 197.0
+        gap = {
             "target_img_per_s": round(3 * REFERENCE_IMG_PER_S_ESTIMATE, 1),
             "speed_of_light_this_chip_img_per_s": round(sol, 1),
             "needed_on_this_chip_for_3x_on_spec_img_per_s": round(need, 1),
             "ms_per_step_cut_needed": round(
                 max(0.0, (args.bs / img_per_s - args.bs / need)) * 1e3, 1),
-            # Round-3 pool accounting (BENCHMARKS.md has the full ledger):
-            # ln_stats_extra_reads (4.5) CLOSED-negative (AD residual traffic
-            # beats the saved stats pass); adamw bf16 mu REALIZED (~1 ms, now
-            # default); dwconv boundary copies (8.2) CLOSED-neutral (hwnc
-            # layout removes them, XLA's HWNC conv emitter absorbs the gain);
-            # grouped dwconv (was booked as ~15 ms of bandwidth headroom)
-            # CLOSED-compute-bound: scripts/bench_vpu.py measured the VPU FMA
-            # issue envelope at ~0.7-0.8 T MAC/s and the in-step dwconv already
-            # sustains ~1.05 T MAC/s (22 GMAC / 20.9 ms) — the bandwidth
-            # framing was the wrong limiter; XLA's conv emitter is at the ALU
-            # floor. No open software pools remain mapped.
-            "open_software_pools_ms_per_step": {},
         }
+        if table:
+            # COMPUTED from the xprof per-fusion table (VERDICT r4 next #1):
+            # pool = ms x (1 - achieved/envelope) per straggler group; floor =
+            # every GEMM at the envelope, attention at its K=64 lane ceiling,
+            # VPU/stream categories at their measured (round-4-closed) floors.
+            gap["open_software_pools_ms_per_step"] = \
+                table["open_pools_ms_per_step"]
+            gap["pools_captured_at"] = {
+                "git": table.get("git"), "note": table.get("note")}
+            floor_ms = 0.0
+            for e in table["entries"]:
+                if e["cls"] == "gemm":
+                    floor_ms += e["ms_per_step"] * e["tf_per_s"] / envelope_tf
+                elif e["cls"] == "attention":
+                    floor_ms += e["ms_per_step"] * e["tf_per_s"] \
+                        / (envelope_tf / 2.0)
+                else:
+                    floor_ms += e["ms_per_step"]
+            floor_ms += table["total_device_ms_per_step"] - sum(
+                e["ms_per_step"] for e in table["entries"])
+            gap["per_class_floor_ms_per_step"] = round(floor_ms, 1)
+            gap["floor_img_per_s_on_spec_v5e"] = round(
+                args.bs / floor_ms * 1e3 * 197.0 / envelope_tf, 1)
+            # the checkable verdict: if even the floor projects below 3x on
+            # spec silicon, the contract is infeasible at this workload
+            gap["three_x_feasible_at_this_workload"] = bool(
+                gap["floor_img_per_s_on_spec_v5e"] >= 3 * REFERENCE_IMG_PER_S_ESTIMATE)
+        out["gap_to_3x"] = gap
     print(json.dumps(out))
 
 

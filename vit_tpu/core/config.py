@@ -73,6 +73,13 @@ class TransformerConfig:
     pp_microbatches: int = 0                 # pipeline microbatches M (0 with
                                              # pp_stages>1 = 2*stages); bubble
                                              # fraction = (S-1)/(M+S-1)
+    gelu_impl: Optional[str] = None          # None → $VIT_TPU_GELU → "tanh_erf"
+                                             # (fitted tanh-composed erf, max
+                                             # gelu err 5.4e-5 — exact-erf
+                                             # semantics at bf16 resolution,
+                                             # +~9 ms/step on the flagship;
+                                             # ops/gelu.py) | "erf" (jax.lax.
+                                             # erf, strict-parity) | "tanh"
     # Author's minimal core uses F.layer_norm without learnable affine params
     # (reference: transformer.py:43-44); the Bytedance core uses nn.LayerNorm with
     # affine (reference: blocks.py:43). Both behaviors are config-selectable.

@@ -26,6 +26,7 @@ from einops import rearrange
 from flax import linen as nn
 
 from vit_tpu.core.config import TransformerConfig
+from vit_tpu.ops.gelu import gelu as gelu_op
 from vit_tpu.ops.attention import fused_qkv_attention, multi_head_attention
 from vit_tpu.utils.init import dense, torch_bias_init, torch_kernel_init
 
@@ -260,7 +261,7 @@ class Mlp(nn.Module):
 
             h = QuantDense(4 * cfg.n_embd, cfg.n_embd, dtype=cfg.dtype,
                            name="fc1")(x)
-            h = nn.gelu(h, approximate=False)
+            h = gelu_op(h, cfg.gelu_impl)
             h = QuantDense(cfg.n_embd, 4 * cfg.n_embd, dtype=cfg.dtype,
                            name="fc2")(h)
             h = nn.Dropout(rate=cfg.dropout)(h, deterministic=deterministic)
@@ -288,7 +289,7 @@ class Mlp(nn.Module):
             dt = cfg.dtype or jnp.result_type(x.dtype, kernel.dtype)
             h = fused_dense(x.astype(dt), kernel.astype(dt),
                             fc1_bias.astype(dt))
-            h = nn.gelu(h, approximate=False)
+            h = gelu_op(h, cfg.gelu_impl)
         else:
             h = dense(4 * cfg.n_embd, cfg.n_embd, dtype=cfg.dtype,
                       param_dtype=cfg.param_dtype, name="fc1")(x)
@@ -300,7 +301,10 @@ class Mlp(nn.Module):
             # gelu+fc2 (recompute one elementwise op) measured 227.8 vs 262.3
             # img/s — the region boundary breaks XLA's fc2 epilogue fusion and
             # scheduling for more than the saved write. Keep plain AD.
-            h = nn.gelu(h, approximate=False)  # torch GELU default: exact erf
+            # torch GELU default is exact erf; the default "tanh_erf" impl
+            # keeps those semantics at bf16 resolution while freeing the fc1
+            # fusion's VPU (69 -> 122 TF/s, scripts/bench_fc1.py — round 5)
+            h = gelu_op(h, cfg.gelu_impl)
         if fused_fc:
             from vit_tpu.kernels.fc_grad import fused_dense
 

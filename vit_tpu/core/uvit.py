@@ -18,6 +18,8 @@ import jax.numpy as jnp
 from einops import rearrange
 from flax import linen as nn
 
+from vit_tpu.ops.gelu import gelu as gelu_op
+
 from vit_tpu.ops.attention import fused_qkv_attention
 
 
@@ -52,7 +54,7 @@ class Mlp(nn.Module):
     def __call__(self, x, deterministic: bool = True):
         h = nn.Dense(self.hidden_features, dtype=self.dtype,
                      param_dtype=self.param_dtype, name="fc1")(x)
-        h = nn.gelu(h, approximate=False)
+        h = gelu_op(h)  # default tanh_erf: exact-erf at bf16 resolution (ops/gelu.py)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         h = nn.Dense(self.out_features, dtype=self.dtype,
                      param_dtype=self.param_dtype, name="fc2")(h)
