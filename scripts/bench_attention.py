@@ -89,5 +89,40 @@ def main():
     timeit(fwd_chain, (qkv,), args.steps, "packed fwd", CHAIN * fwd_flops)
     timeit(bwd_chain, (qkv, g), args.steps, "packed bwd", CHAIN * bwd_flops)
 
+    # (m, l)-residual arms (round 5): fwd also emits the softmax row stats;
+    # bwd consumes them and skips its (Sp,Sp) max/sum recompute.
+    from vit_tpu.kernels.attention import _stats_enabled
+
+    if _stats_enabled(s):
+        fwd_stats = _packed_fwd_cp(h, False, args.dropout, True, True)
+        bwd_stats = _packed_bwd_cp(h, False, args.dropout, True, True)
+
+        @jax.jit
+        def fwd_stats_chain(x):
+            def body(_, x):
+                o, st = fwd_stats(x, bias, seed)
+                bump = (o[0, 0, 0].astype(jnp.float32) * 1e-24
+                        + st[0, 0, 0, 0] * 1e-24
+                        + x[0, 0, 0].astype(jnp.float32))
+                return x.at[0, 0, 0].set(bump.astype(x.dtype))
+            return jax.lax.fori_loop(0, CHAIN, body, x)
+
+        @jax.jit
+        def bwd_stats_chain(x, g):
+            _, stats = fwd_stats(x, bias, seed)
+
+            def body(_, x):
+                dqkv, db = bwd_stats(x, g, bias, seed, stats)
+                bump = (dqkv[0, 0, 0].astype(jnp.float32) * 1e-24
+                        + db[0].astype(jnp.float32) * 1e-24
+                        + x[0, 0, 0].astype(jnp.float32))
+                return x.at[0, 0, 0].set(bump.astype(x.dtype))
+            return jax.lax.fori_loop(0, CHAIN, body, x)
+
+        timeit(fwd_stats_chain, (qkv,), args.steps, "packed fwd+stats",
+               CHAIN * fwd_flops)
+        timeit(bwd_stats_chain, (qkv, g), args.steps, "packed bwd(stats)",
+               CHAIN * bwd_flops)
+
 if __name__ == "__main__":
     main()

@@ -339,3 +339,30 @@ def test_tiled_bwd_dropout_grad_matches_explicit_mask():
     for a, b_ in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=2e-3,
                                    rtol=2e-3)
+
+
+def test_packed_stats_residuals_bitexact(monkeypatch):
+    """(m, l)-residual backward (round 5) is BIT-exact vs the recompute path:
+    the bwd rebuilds identical scores, so the saved row stats equal the
+    recomputed ones value-for-value — gradients must match exactly, with and
+    without a qkv bias, dense and causal."""
+    from vit_tpu.kernels import attention as A
+
+    n_heads = 2
+    qkv = jax.random.normal(jax.random.PRNGKey(9), (2, 40, 3 * 128))
+    bias = jax.random.normal(jax.random.PRNGKey(10), (3 * 128,)) * 0.1
+
+    for causal in (False, True):
+        for use_bias in (False, True):
+            def loss(x):
+                kw = dict(causal=causal)
+                if use_bias:
+                    kw["qkv_bias"] = bias
+                return jnp.sum(A.flash_attention_packed(x, n_heads, **kw) ** 2)
+
+            monkeypatch.setenv("VIT_TPU_ATTN_STATS", "1")
+            g_stats = jax.grad(loss)(qkv)
+            monkeypatch.setenv("VIT_TPU_ATTN_STATS", "0")
+            g_plain = jax.grad(loss)(qkv)
+            np.testing.assert_array_equal(np.asarray(g_stats),
+                                          np.asarray(g_plain))

@@ -620,10 +620,11 @@ def packed_supported(n_heads: int, n_embd: int, seq_len: int,
     return True
 
 
-def _fa_packed_kernel(q_ref, k_ref, v_ref, bias_ref, seed_ref, o_ref, *,
-                      scale: float, causal: bool, seq_len: int, block_q: int,
-                      dropout_rate: float, head_dim: int, n_heads: int,
-                      bb: int, has_bias: bool):
+def _fa_packed_kernel(q_ref, k_ref, v_ref, bias_ref, seed_ref, o_ref,
+                      *maybe_stats_ref, scale: float, causal: bool,
+                      seq_len: int, block_q: int, dropout_rate: float,
+                      head_dim: int, n_heads: int, bb: int, has_bias: bool,
+                      emit_stats: bool = False):
     """One q block × one 128-lane head-pair block × ``bb`` batch elements.
     q_ref (bb,BQ,L), k_ref/v_ref (bb,Sp,L) — three column-block views into the
     flat (B,Sp,3D) qkv; o_ref (bb,BQ,L); L=128.
@@ -706,7 +707,7 @@ def _fa_packed_kernel(q_ref, k_ref, v_ref, bias_ref, seed_ref, o_ref, *,
             hid = (pid_b * bb + bi) * n_heads + h2 * hb + j + seed_ref[1]
             p = p * _dropout_mask(seed_ref, hid, (bq, sp), dropout_rate,
                                   row0=iq * block_q, stride=seq_len)
-        return p.astype(v.dtype), l
+        return p.astype(v.dtype), l, m
 
     def pv(u, p, l):
         return jax.lax.dot_general(p, u[4], (((1,), (0,)), ((), ())),
@@ -716,19 +717,35 @@ def _fa_packed_kernel(q_ref, k_ref, v_ref, bias_ref, seed_ref, o_ref, *,
     if staged:
         ss = [scores(u) for u in units]
         pls = [softmax(u, s) for u, s in zip(units, ss)]
-        outs = [pv(u, p, l) for u, (p, l) in zip(units, pls)]
+        outs = [pv(u, p, l) for u, (p, l, _) in zip(units, pls)]
     else:
+        pls = []
         outs = []
         for u in units:
-            p, l = softmax(u, scores(u))
+            p, l, m = softmax(u, scores(u))
+            pls.append((p, l, m))
             outs.append(pv(u, p, l))
     for bi in range(bb):
         o_ref[bi] = jnp.concatenate(outs[bi * hb:(bi + 1) * hb],
                                     axis=1).astype(o_ref.dtype)
+    if emit_stats:
+        # (m, l) residuals for the backward (VERDICT r4 next #2): skipping the
+        # bwd's row max/sum recompute measured −20% on the bwd call. Layout:
+        # one f32 (1, bb, BQ, 128) block per (h2, b, iq) — unit j's m
+        # replicated over lanes [j·8, j·8+8), its l over [64+j·8, ...). The
+        # 8-wide replication lets the backward recover the (BQ, 1) column with
+        # a cheap all-equal 8-lane max instead of a width-1 lane slice.
+        (stats_ref,) = maybe_stats_ref
+        for u, (_, l, m) in zip(units, pls):
+            bi, j = u[0], u[1]
+            stats_ref[0, bi, :, j * 8:(j + 1) * 8] = jnp.broadcast_to(
+                m, (bq, 8))
+            stats_ref[0, bi, :, 64 + j * 8:64 + (j + 1) * 8] = (
+                jnp.broadcast_to(l, (bq, 8)))
 
 
 def _packed_fwd_impl(qkv, seed, n_heads: int, causal: bool, dropout_rate: float,
-                     bias=None, hid_off=0):
+                     bias=None, hid_off=0, emit_stats: bool = False):
     b, s, three_d = qkv.shape
     n_embd = three_d // 3
     d = n_embd // n_heads
@@ -757,11 +774,24 @@ def _packed_fwd_impl(qkv, seed, n_heads: int, causal: bool, dropout_rate: float,
     has_bias = bias is not None
     bias_arr = (jnp.broadcast_to(bias.astype(qkv.dtype), (_SUBLANE, three_d))
                 if has_bias else jnp.zeros((_SUBLANE, three_d), qkv.dtype))
+    out_specs = pl.BlockSpec((bb, block_q, _LANES),
+                             lambda b, h, iq: (b, iq, h),
+                             memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((b, sp, n_embd), qkv.dtype)
+    if emit_stats:
+        # (m, l) residuals, f32 (h2, B, Sp, 128): one block per (h2, b, iq),
+        # written once (see kernel docstring for the lane layout)
+        out_specs = (out_specs,
+                     pl.BlockSpec((1, bb, block_q, _LANES),
+                                  lambda b, h, iq: (h, b, iq, 0),
+                                  memory_space=pltpu.VMEM))
+        out_shape = (out_shape,
+                     jax.ShapeDtypeStruct((h2, b, sp, _LANES), jnp.float32))
     out = pl.pallas_call(
         functools.partial(_fa_packed_kernel, scale=scale, causal=causal,
                           seq_len=s, block_q=block_q, dropout_rate=dropout_rate,
                           head_dim=d, n_heads=n_heads, bb=bb,
-                          has_bias=has_bias),
+                          has_bias=has_bias, emit_stats=emit_stats),
         grid=(b // bb, h2, n_q),
         in_specs=[
             pl.BlockSpec((bb, block_q, _LANES), lambda b, h, iq: (b, iq, h),
@@ -776,10 +806,8 @@ def _packed_fwd_impl(qkv, seed, n_heads: int, causal: bool, dropout_rate: float,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((bb, block_q, _LANES),
-                               lambda b, h, iq: (b, iq, h),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, sp, n_embd), qkv.dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
             flops=4 * b * n_heads * sp * sp * d,
             bytes_accessed=4 * b * sp * n_embd * qkv.dtype.itemsize,
@@ -787,13 +815,17 @@ def _packed_fwd_impl(qkv, seed, n_heads: int, causal: bool, dropout_rate: float,
         ),
         interpret=interpret,
     )(x, x, x, bias_arr, _seed_vec(seed, hid_off))
+    if emit_stats:
+        out, stats = out
+        return (out[:, :s, :] if sp != s else out), stats
     return out[:, :s, :] if sp != s else out
 
 
 def _fa_packed_bwd_kernel(q_ref, k_ref, v_ref, do_ref, bias_ref, seed_ref,
-                          dqkv_ref, *maybe_db_ref, scale: float, causal: bool,
+                          *rest_refs, scale: float, causal: bool,
                           seq_len: int, dropout_rate: float, head_dim: int,
-                          n_heads: int, bb: int, has_bias: bool):
+                          n_heads: int, bb: int, has_bias: bool,
+                          use_stats: bool = False):
     """One (batch sub-block, head-pair) per program; full sequence in VMEM.
     q/k/v (bb,Sp,L) flat-qkv column views, do (bb,Sp,L) → dqkv (bb,Sp,3D)
     written via 128-aligned dynamic lane stores into a block that is REVISITED
@@ -808,6 +840,10 @@ def _fa_packed_bwd_kernel(q_ref, k_ref, v_ref, do_ref, bias_ref, seed_ref,
     (staged) → 1.08 ms/call (staged, bb=2) at the flagship shape. VMEM gates:
     staging keeps up to 2·bb·hb (Sp,Sp) fp32 planes live; bb=2 only for
     Sp ≤ 384 (bb=4 at Sp=320 measured 24.2 MB scoped VMEM > 16 MB budget)."""
+    rest = list(rest_refs)
+    stats_ref = rest.pop(0) if use_stats else None
+    dqkv_ref = rest.pop(0)
+    maybe_db_ref = tuple(rest)
     pid_b = pl.program_id(0)
     h2 = pl.program_id(1)
     sp = q_ref.shape[1]
@@ -862,9 +898,21 @@ def _fa_packed_bwd_kernel(q_ref, k_ref, v_ref, do_ref, bias_ref, seed_ref,
 
     def softmax(u, s):
         bi, j = u[0], u[1]
-        m = jnp.max(s, axis=-1, keepdims=True)
-        ph = jnp.exp(s - m)            # unnormalized; see _fa_bwd_kernel note
-        l = jnp.sum(ph, axis=-1, keepdims=True)
+        if use_stats:
+            # (m, l) saved by the forward (same recomputed scores → bit-exact;
+            # lane layout in _fa_packed_kernel). Skipping the (Sp,Sp) row
+            # max/sum reductions measured −20% on this kernel standalone. The
+            # 8-wide replicated lanes collapse to a (Sp,1) column with a cheap
+            # all-equal max instead of a width-1 lane slice.
+            sl = stats_ref[0, bi]
+            m = jnp.max(sl[:, j * 8:(j + 1) * 8], axis=-1, keepdims=True)
+            l = jnp.max(sl[:, 64 + j * 8:64 + (j + 1) * 8],
+                        axis=-1, keepdims=True)
+            ph = jnp.exp(s - m)
+        else:
+            m = jnp.max(s, axis=-1, keepdims=True)
+            ph = jnp.exp(s - m)        # unnormalized; see _fa_bwd_kernel note
+            l = jnp.sum(ph, axis=-1, keepdims=True)
         if dropout_rate > 0.0:
             hid = (pid_b * bb + bi) * n_heads + h2 * hb + j + seed_ref[1]
             dmask = _dropout_mask(seed_ref, hid, (sp, sp), dropout_rate,
@@ -964,7 +1012,7 @@ def _fa_packed_bwd_kernel(q_ref, k_ref, v_ref, do_ref, bias_ref, seed_ref,
 
 
 def _packed_bwd_impl(qkv, g, seed, n_heads: int, causal: bool,
-                     dropout_rate: float, bias=None, hid_off=0):
+                     dropout_rate: float, bias=None, hid_off=0, stats=None):
     b, s, three_d = qkv.shape
     n_embd = three_d // 3
     d = n_embd // n_heads
@@ -975,6 +1023,9 @@ def _packed_bwd_impl(qkv, g, seed, n_heads: int, causal: bool,
     if sp != s:
         x = jnp.pad(x, ((0, 0), (0, sp - s), (0, 0)))
         g = jnp.pad(g, ((0, 0), (0, sp - s), (0, 0)))
+    # stats rows are the forward's Sp (s ≤ 512 → identical _ceil_to(s, 8));
+    # the vjp plumbing only passes stats in that regime
+    use_stats = stats is not None
     interpret = jax.default_backend() != "tpu"
 
     # bb=2 batch elements per program where VMEM allows (see kernel docstring).
@@ -998,25 +1049,33 @@ def _packed_bwd_impl(qkv, g, seed, n_heads: int, causal: bool,
         # would write (and the caller discard) an uninitialized partial block.
         out_specs = dqkv_spec
         out_shape = dqkv_shape
+    in_specs = [
+        pl.BlockSpec((bb, sp, _LANES), lambda b, h: (b, 0, h),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((bb, sp, _LANES), lambda b, h, h2=h2: (b, 0, h2 + h),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((bb, sp, _LANES),
+                     lambda b, h, h2=h2: (b, 0, 2 * h2 + h),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((bb, sp, _LANES), lambda b, h: (b, 0, h),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((_SUBLANE, three_d), lambda b, h: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+    ]
+    inputs = [x, x, x, g, bias_arr, _seed_vec(seed, hid_off)]
+    if use_stats:
+        in_specs.append(pl.BlockSpec((1, bb, sp, _LANES),
+                                     lambda b, h: (h, b, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        inputs.append(stats)
     out = pl.pallas_call(
         functools.partial(_fa_packed_bwd_kernel, scale=scale, causal=causal,
                           seq_len=s, dropout_rate=dropout_rate, head_dim=d,
-                          n_heads=n_heads, bb=bb, has_bias=has_bias),
+                          n_heads=n_heads, bb=bb, has_bias=has_bias,
+                          use_stats=use_stats),
         grid=(b // bb, h2),
-        in_specs=[
-            pl.BlockSpec((bb, sp, _LANES), lambda b, h: (b, 0, h),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((bb, sp, _LANES), lambda b, h, h2=h2: (b, 0, h2 + h),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((bb, sp, _LANES),
-                         lambda b, h, h2=h2: (b, 0, 2 * h2 + h),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((bb, sp, _LANES), lambda b, h: (b, 0, h),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((_SUBLANE, three_d), lambda b, h: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ],
+        in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
@@ -1025,7 +1084,7 @@ def _packed_bwd_impl(qkv, g, seed, n_heads: int, causal: bool,
             transcendentals=b * n_heads * sp * sp,
         ),
         interpret=interpret,
-    )(x, x, x, g, bias_arr, _seed_vec(seed, hid_off))
+    )(*inputs)
     dqkv, db = out if has_bias else (out, None)
     if sp != s:
         dqkv = dqkv[:, :s]
@@ -1034,15 +1093,19 @@ def _packed_bwd_impl(qkv, g, seed, n_heads: int, causal: bool,
 
 @functools.lru_cache(maxsize=None)
 def _packed_fwd_cp(n_heads: int, causal: bool, dropout_rate: float,
-                   has_bias: bool):
+                   has_bias: bool, emit_stats: bool = False):
     @custom_partitioning
     def fwd(qkv, bias, seed):
         return _packed_fwd_impl(qkv, seed, n_heads, causal, dropout_rate,
-                                bias=bias if has_bias else None)
+                                bias=bias if has_bias else None,
+                                emit_stats=emit_stats)
 
     def infer(mesh, arg_infos, result_infos):
         (b,) = lead_spec(arg_infos[0], 1)
-        return named(mesh, b, None, None)
+        sh = named(mesh, b, None, None)
+        if emit_stats:  # stats (h2, B, Sp, 128): batch at dim 1
+            return sh, named(mesh, None, b, None, None)
+        return sh
 
     def part(mesh, arg_infos, result_infos):
         (b,) = lead_spec(arg_infos[0], 1)
@@ -1053,24 +1116,30 @@ def _packed_fwd_cp(n_heads: int, causal: bool, dropout_rate: float,
             hid_off = dim_offset(mesh, b, qkv.shape[0]) * n_heads
             return _packed_fwd_impl(qkv, seed, n_heads, causal, dropout_rate,
                                     bias=bias if has_bias else None,
-                                    hid_off=hid_off)
+                                    hid_off=hid_off, emit_stats=emit_stats)
 
-        return mesh, lower, sh, arg_sh
+        out_sh = ((sh, named(mesh, None, b, None, None)) if emit_stats
+                  else sh)
+        return mesh, lower, out_sh, arg_sh
 
     # x (3D) and y (D) are distinct factors — only the batch dim propagates.
+    rule = ("b s x, c, u -> b s y, g b s w" if emit_stats
+            else "b s x, c, u -> b s y")
     fwd.def_partition(partition=part, infer_sharding_from_operands=infer,
-                      sharding_rule="b s x, c, u -> b s y")
+                      sharding_rule=rule)
     return fwd
 
 
 @functools.lru_cache(maxsize=None)
 def _packed_bwd_cp(n_heads: int, causal: bool, dropout_rate: float,
-                   has_bias: bool):
+                   has_bias: bool, use_stats: bool = False):
     @custom_partitioning
-    def bwd(qkv, g, bias, seed):
+    def bwd(qkv, g, bias, seed, *maybe_stats):
         dqkv, db = _packed_bwd_impl(qkv, g, seed, n_heads, causal,
                                     dropout_rate,
-                                    bias=bias if has_bias else None)
+                                    bias=bias if has_bias else None,
+                                    stats=(maybe_stats[0] if use_stats
+                                           else None))
         return (dqkv, db) if has_bias else dqkv
 
     def infer(mesh, arg_infos, result_infos):
@@ -1082,17 +1151,21 @@ def _packed_bwd_cp(n_heads: int, causal: bool, dropout_rate: float,
         (b,) = lead_spec(arg_infos[0], 1)
         sh = named(mesh, b, None, None)
         arg_sh = (sh, sh, named(mesh, None), named(mesh, None))
+        if use_stats:
+            arg_sh = arg_sh + (named(mesh, None, b, None, None),)
         # db is a sum over the (possibly sharded) batch: each shard computes a
         # partial from its local rows, the psum over the batch mesh axes makes
         # the declared-replicated output true.
         axes = b if isinstance(b, tuple) else ((b,) if b else ())
 
-        def lower(qkv, g, bias, seed):
+        def lower(qkv, g, bias, seed, *maybe_stats):
             hid_off = dim_offset(mesh, b, qkv.shape[0]) * n_heads
             dqkv, db = _packed_bwd_impl(qkv, g, seed, n_heads, causal,
                                         dropout_rate,
                                         bias=bias if has_bias else None,
-                                        hid_off=hid_off)
+                                        hid_off=hid_off,
+                                        stats=(maybe_stats[0] if use_stats
+                                               else None))
             if not has_bias:
                 return dqkv
             if axes:
@@ -1102,11 +1175,23 @@ def _packed_bwd_cp(n_heads: int, causal: bool, dropout_rate: float,
         out_sh = (sh, named(mesh, None, None)) if has_bias else sh
         return mesh, lower, out_sh, arg_sh
 
-    rule = ("b s x, b s y, c, u -> b s x, c" if has_bias
-            else "b s x, b s y, c, u -> b s x")
+    stats_in = ", g b s w" if use_stats else ""
+    rule = (f"b s x, b s y, c, u{stats_in} -> b s x, c" if has_bias
+            else f"b s x, b s y, c, u{stats_in} -> b s x")
     bwd.def_partition(partition=part, infer_sharding_from_operands=infer,
                       sharding_rule=rule)
     return bwd
+
+
+def _stats_enabled(s: int) -> bool:
+    """(m, l)-residual gate: the fwd and full-seq bwd must agree on Sp (true
+    for s ≤ 512 — both pad to _ceil_to(s, 8)), and $VIT_TPU_ATTN_STATS can
+    force it off for A/B. Saving the two row stats skips the backward's
+    (Sp,Sp) max/sum reductions — measured −20% on the bwd call at the
+    flagship shape (VERDICT r4 next #2; BENCHMARKS.md round-5)."""
+    import os
+
+    return s <= 512 and os.environ.get("VIT_TPU_ATTN_STATS", "1") == "1"
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
@@ -1117,18 +1202,26 @@ def _flash_attention_packed(qkv, seed, n_heads, causal, dropout_rate):
 
 def _fa_packed_fwd(qkv, seed, n_heads, causal, dropout_rate):
     bias = jnp.zeros((qkv.shape[-1],), qkv.dtype)
+    if _stats_enabled(qkv.shape[1]):
+        out, stats = _packed_fwd_cp(n_heads, causal, dropout_rate, False,
+                                    True)(qkv, bias, seed)
+        return out, (qkv, seed, stats)
     return (_packed_fwd_cp(n_heads, causal, dropout_rate, False)(qkv, bias,
                                                                  seed),
-            (qkv, seed))
+            (qkv, seed, None))
 
 
 def _fa_packed_bwd(n_heads, causal, dropout_rate, res, g):
     import numpy as np
 
-    qkv, seed = res
+    qkv, seed, stats = res
     bias = jnp.zeros((qkv.shape[-1],), qkv.dtype)
-    dqkv = _packed_bwd_cp(n_heads, causal, dropout_rate, False)(qkv, g,
-                                                                bias, seed)
+    if stats is not None:
+        dqkv = _packed_bwd_cp(n_heads, causal, dropout_rate, False,
+                              True)(qkv, g, bias, seed, stats)
+    else:
+        dqkv = _packed_bwd_cp(n_heads, causal, dropout_rate, False)(qkv, g,
+                                                                    bias, seed)
     return dqkv, np.zeros(seed.shape, jax.dtypes.float0)
 
 
@@ -1148,16 +1241,24 @@ def _flash_attention_packed_biased(qkv, bias, seed, n_heads, causal,
 
 
 def _fa_pb_fwd(qkv, bias, seed, n_heads, causal, dropout_rate):
+    if _stats_enabled(qkv.shape[1]):
+        out, stats = _packed_fwd_cp(n_heads, causal, dropout_rate, True,
+                                    True)(qkv, bias, seed)
+        return out, (qkv, bias, seed, stats)
     out = _packed_fwd_cp(n_heads, causal, dropout_rate, True)(qkv, bias, seed)
-    return out, (qkv, bias, seed)
+    return out, (qkv, bias, seed, None)
 
 
 def _fa_pb_bwd(n_heads, causal, dropout_rate, res, g):
     import numpy as np
 
-    qkv, bias, seed = res
-    dqkv, db = _packed_bwd_cp(n_heads, causal, dropout_rate, True)(qkv, g,
-                                                                   bias, seed)
+    qkv, bias, seed, stats = res
+    if stats is not None:
+        dqkv, db = _packed_bwd_cp(n_heads, causal, dropout_rate, True,
+                                  True)(qkv, g, bias, seed, stats)
+    else:
+        dqkv, db = _packed_bwd_cp(n_heads, causal, dropout_rate, True)(
+            qkv, g, bias, seed)
     return (dqkv, db.astype(bias.dtype),
             np.zeros(seed.shape, jax.dtypes.float0))
 
