@@ -202,3 +202,44 @@ def test_metrics_logger_histograms_and_watch_step(tmp_path):
                 histo_tags.add(v.tag)
     assert any(t.startswith("grad_hist/") for t in histo_tags), histo_tags
     assert any(t.startswith("param_hist/") for t in histo_tags), histo_tags
+
+
+def test_fusion_table_build(tmp_path):
+    """scripts/fusion_table.py: grouping, self-calibrated envelope, per-class
+    pools — the artifact bench.py computes open_software_pools from."""
+    from fusion_table import build_table
+
+    def row(name, cat, expr, t_us, rate_gfs):
+        return {"hlo_op_name": name, "category": cat,
+                "hlo_op_expression": expr, "total_self_time": t_us,
+                "model_flop_rate": rate_gfs, "measured_memory_bw": 300.0,
+                "occurrences": 3}
+
+    rows = [
+        # two same-signature GEMM fusions at the envelope rate
+        row("fusion.1", "convolution fusion",
+            "%fusion.1 = bf16[64,320,2304]{2,1,0} fusion(x)", 3000.0, 180000.0),
+        row("fusion.2", "convolution fusion",
+            "%fusion.2 = bf16[64,320,2304]{2,1,0} fusion(x)", 3000.0, 180000.0),
+        # a straggler GEMM at half rate -> pool = ms * (1 - 90/180)
+        row("fusion.3", "convolution fusion",
+            "%fusion.3 = bf16[64,320,3072]{2,1,0} fusion(x)", 3000.0, 90000.0),
+        # attention custom-call below the half-lane ceiling
+        row("attn.1", "custom-call",
+            "%attn.1 = bf16[64,320,768]{2,1,0} custom-call(x)", 3000.0, 50000.0),
+        # stream op: no pool regardless of rate
+        row("fusion.4", "loop fusion",
+            "%fusion.4 = f32[64,320]{1,0} fusion(x)", 3000.0, 100.0),
+    ]
+    big, rest_ms, envelope = build_table(rows, steps=3.0, min_ms=0.5)
+    assert abs(envelope - 180.0) < 1.0, envelope
+    by = {e["signature"]: e for e in big}
+    gemm = by["convolution fusion|fusion|bf16[64,320,3072]"]
+    assert gemm["cls"] == "gemm"
+    assert abs(gemm["pool_ms"] - 1.0 * (1 - 90.0 / 180.0)) < 0.01
+    attn = next(e for e in big if e["cls"] == "attention")
+    assert abs(attn["envelope_tf"] - 90.0) < 1.0
+    assert abs(attn["pool_ms"] - 1.0 * (1 - 50.0 / 90.0)) < 0.02
+    stream = next(e for e in big if e["cls"] == "stream")
+    assert stream["pool_ms"] == 0.0
+    assert rest_ms == 0.0
