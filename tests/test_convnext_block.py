@@ -23,10 +23,13 @@ def _init_block(c, dtype, mlp_impl, seed=0):
 
 
 def test_erf_approximation_accuracy():
-    z = jnp.linspace(-5.0, 5.0, 4096)
+    z = jnp.linspace(-30.0, 30.0, 40001)
     err = jnp.max(jnp.abs(_erf(z) - jax.lax.erf(z)))
-    # 1.5e-7 approximation error + fp32 rounding
-    assert float(err) < 1e-6, float(err)
+    # round 5: tanh-composed quintic (ops/gelu.py fit) replaced the A&S
+    # rational form — divide+exp serialized the VPU behind the MXU. Max
+    # error 3.7e-5: 35x inside the 1e-3 golden contract, below bf16
+    # activation resolution; the clamp keeps the far tails saturated.
+    assert float(err) < 5e-5, float(err)
 
 
 def test_fused_supported_gate():

@@ -24,7 +24,13 @@ def _ref(x, w, b=None, gelu=False):
     if b is not None:
         z = z + b.astype(jnp.float32)
     if gelu:
-        z = jax.nn.gelu(z, approximate=False)
+        # same tanh-erf gelu semantics as the kernel (round 5) — the
+        # approximation itself is pinned against jax.lax.erf in
+        # tests/test_gelu.py; here the KERNEL is pinned against an
+        # independent XLA evaluation of the same math at tight tolerance
+        from vit_tpu.ops.gelu import gelu as gelu_op
+
+        z = gelu_op(z, "tanh_erf")
     return z.astype(x.dtype)
 
 

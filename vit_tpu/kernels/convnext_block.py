@@ -43,25 +43,38 @@ _SQRT_2PI_INV = 0.3989422804014327  # 1/sqrt(2π)
 
 
 def _erf(x):
-    """Abramowitz & Stegun 7.1.26 (|ε| ≤ 1.5e-7), odd-extended; fp32, exp-only."""
-    a1, a2, a3 = 0.254829592, -0.284496736, 1.421413741
-    a4, a5, p = -1.453152027, 1.061405429, 0.3275911
-    s = jnp.sign(x)
-    z = jnp.abs(x)
-    t = 1.0 / (1.0 + p * z)
-    poly = t * (a1 + t * (a2 + t * (a3 + t * (a4 + t * a5))))
-    return s * (1.0 - poly * jnp.exp(-z * z))
+    """erf via the round-5 tanh-composed quintic (ops/gelu.py fit,
+    |ε| ≤ 3.7e-5 — 35× inside the 1e-3 golden-parity contract and far below
+    bf16 activation resolution). Replaces the Abramowitz-Stegun 7.1.26
+    rational form: A&S needs a DIVIDE + exp, which serialize the VPU behind
+    the kernel's MXU matmuls (+23% on the fc1-shaped fusion probe,
+    scripts/bench_fc1.py as_erf vs tanh_erf arms); tanh is cheap on this
+    VPU."""
+    from vit_tpu.ops.gelu import _C1, _C3, _C5
+
+    u = jnp.clip(x, -4.0, 4.0)
+    u2 = u * u
+    return jnp.tanh(u * (_C1 + u2 * (_C3 + u2 * _C5)))
 
 
 def _gelu(z):
-    """Exact-erf GELU (torch nn.GELU default), fp32 in/out."""
+    """Exact-erf-semantics GELU (torch nn.GELU default), fp32 in/out."""
     return 0.5 * z * (1.0 + _erf(z * 0.7071067811865476))
 
 
 def _gelu_grad(z):
-    """d/dz gelu(z) = Φ(z) + z·φ(z), fp32."""
-    phi_cdf = 0.5 * (1.0 + _erf(z * 0.7071067811865476))
-    return phi_cdf + z * _SQRT_2PI_INV * jnp.exp(-0.5 * z * z)
+    """d/dz of _gelu — the flat hand-written derivative of the tanh-erf form
+    (same finding as ops/gelu.py's custom_vjp: the flat expression schedules
+    at the GEMM floor where exp/divide forms do not)."""
+    from vit_tpu.ops.gelu import _C1, _C3, _C5
+
+    u = jnp.clip(z * 0.7071067811865476, -4.0, 4.0)
+    u2 = u * u
+    p = u * (_C1 + u2 * (_C3 + u2 * _C5))
+    t = jnp.tanh(p)
+    dp = _C1 + u2 * (3 * _C3 + u2 * (5 * _C5))
+    return (0.5 * (1.0 + t)
+            + 0.5 * z * (1.0 - t * t) * dp * 0.7071067811865476)
 
 
 def _normalize(h32, eps: float):

@@ -23,6 +23,8 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from vit_tpu.ops.gelu import gelu as gelu_op
+
 IMAGENET_MEAN = (0.485, 0.456, 0.406)
 IMAGENET_STD = (0.229, 0.224, 0.225)
 
@@ -183,11 +185,11 @@ class ConvNeXtBlock(nn.Module):
             w1, b1 = _DenseParams(c, 4 * c, name="pwconv1")()
             w2, b2 = _DenseParams(4 * c, c, name="pwconv2")()
             h = frozen_int8_dense(h, w1, b1)
-            h = nn.gelu(h.astype(self.dtype), approximate=False)
+            h = gelu_op(h.astype(self.dtype))  # tanh_erf default: exact-erf at bf16 resolution, no VPU divide (ops/gelu.py)
             h = frozen_int8_dense(h, w2, b2).astype(self.dtype)
         else:
             h = nn.Dense(4 * self.dim, dtype=self.dtype, name="pwconv1")(h)
-            h = nn.gelu(h, approximate=False)
+            h = gelu_op(h)
             h = nn.Dense(self.dim, dtype=self.dtype, name="pwconv2")(h)
         h = h.reshape(shape)
         gamma = self.param("gamma", nn.initializers.constant(1e-6), (self.dim,),
