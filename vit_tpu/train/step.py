@@ -86,6 +86,18 @@ def make_tokenizer_train_step(model, *, perceptual_loss_fn: Optional[Callable] =
 
         (_, (indices, metrics, recon)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
+        import os
+
+        if os.environ.get("VIT_TPU_GRAD_BARRIER") == "1":
+            # A/B probe (round 5), MEASURED NEGATIVE — keep off: the
+            # clip-by-global-norm sum-of-squares fuses into every dW GEMM's
+            # epilogue (the (f32[], dW) fusions at 166-172 TF/s vs the 191
+            # envelope, ~3 ms/step of apparent drag). Un-fusing with a
+            # barrier so the GEMMs run clean measured 296.3 vs 300.7 img/s
+            # in-step: the separate sumsq streaming passes + the scheduling
+            # disruption cost more than the epilogue drag — that pool is
+            # effectively CLOSED (the fused form is the better one).
+            grads = jax.tree.map(jax.lax.optimization_barrier, grads)
         if watch:
             from vit_tpu.utils.metrics import tree_histograms
 
